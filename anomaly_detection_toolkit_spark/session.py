@@ -1,0 +1,52 @@
+"""SparkSession builders tuned for this engine.
+
+Local mode here is a correctness/bench proxy; every config is chosen
+to also be the right default on a multi-executor cluster (AQE on,
+skew-join on, Arrow on, UTC session TZ for cross-engine parity).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "adt-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    cpus: local parallelism (defaults to $SPARK_GRAFT_CPUS or all cores).
+    shuffle_partitions: defaults to max(cpus, 32) locally. On a real
+    cluster this should be ~2-3x total executor cores; AQE coalesces
+    small post-shuffle partitions either way.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 32)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Image payload batches can be MBs per row group; keep Arrow
+        # batches bounded so the Python decode workers stay small.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("ADT_SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
