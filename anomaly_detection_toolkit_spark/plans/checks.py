@@ -1,0 +1,592 @@
+"""Validation checks over the north-star image+caption table.
+
+Each check consumes the input DataFrame and emits:
+- ``violations``: rows in a shared schema modeled on the reference's
+  ``Alert`` record (``predictive_maintenance.py:37-48``: level,
+  message, feature, value, threshold, entity, metadata → here:
+  check, level, column, entity_id, part, value, threshold, message);
+- ``metrics``: ``(check, part, metric, value)`` rows (part = -1 for
+  global metrics), the per-partition lineage the ledger persists.
+
+A failed check NEVER aborts the job — it yields violation/metric rows
+(the reference's try/except→None semantics at
+``predictive_maintenance.py:702-751`` re-expressed as data).
+
+Scale notes are inline per check; the common theme: one wide
+aggregation pass over the fact table per check, tiny result tables
+afterwards, no driver-side loops over data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from anomaly_detection_toolkit_spark.functions import codecs
+
+VIOLATION_SCHEMA = (
+    "check string, level string, column string, entity_id string, "
+    "part int, value string, threshold string, message string"
+)
+METRICS_SCHEMA = "check string, part int, metric string, value double"
+
+V_COLS = ["check", "level", "column", "entity_id", "part", "value", "threshold", "message"]
+
+
+def empty_violations(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], VIOLATION_SCHEMA)
+
+
+def empty_metrics(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], METRICS_SCHEMA)
+
+
+@dataclass
+class CheckOutput:
+    violations: DataFrame
+    metrics: DataFrame
+
+
+class Check:
+    name: str = "check"
+
+    def run(self, df: DataFrame) -> CheckOutput:
+        raise NotImplementedError
+
+
+def _v(check: str, level: str, column, entity_id, part, value, threshold, message) -> list[Column]:
+    """Build the violation projection (all value-ish fields as strings)."""
+
+    def s(x):
+        if isinstance(x, Column):
+            return x.cast("string")
+        return F.lit(None).cast("string") if x is None else F.lit(str(x))
+
+    return [
+        F.lit(check).alias("check"),
+        F.lit(level).alias("level"),
+        s(column).alias("column"),
+        s(entity_id).alias("entity_id"),
+        (part if isinstance(part, Column) else F.lit(part)).cast("int").alias("part"),
+        s(value).alias("value"),
+        s(threshold).alias("threshold"),
+        s(message).alias("message"),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Schema check
+# ---------------------------------------------------------------------------
+
+
+class SchemaCheck(Check):
+    """Assert expected column names/types exist (driver-side: schema is
+    metadata, not data). Analogue of ``base.py:95-109`` input coercion
+    as a declarative contract."""
+
+    name = "schema"
+
+    def __init__(self, expected: dict[str, str]):
+        self.expected = expected
+
+    def run(self, df: DataFrame) -> CheckOutput:
+        spark = df.sparkSession
+        actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        rows = []
+        for col, typ in self.expected.items():
+            if col not in actual:
+                rows.append((self.name, "error", col, None, -1, None, typ, "missing column"))
+            elif actual[col] != typ:
+                rows.append(
+                    (self.name, "error", col, None, -1, actual[col], typ, "type mismatch")
+                )
+        violations = (
+            spark.createDataFrame(rows, VIOLATION_SCHEMA) if rows else empty_violations(spark)
+        )
+        metrics = spark.createDataFrame(
+            [(self.name, -1, "n_schema_violations", float(len(rows)))], METRICS_SCHEMA
+        )
+        return CheckOutput(violations, metrics)
+
+
+# ---------------------------------------------------------------------------
+# Column stats + constraints
+# ---------------------------------------------------------------------------
+
+
+class ColumnStatsCheck(Check):
+    """Per-partition per-column profile + bound constraints.
+
+    ONE ``groupBy(part)`` aggregation pass computes count / null-count
+    / min / max / mean / stddev_pop for every constrained column
+    (Catalyst fuses sibling aggregates into a single HashAggregate
+    with map-side partials — the treeAggregate-style plan the north
+    star asks for). The resulting stats table has n_parts rows;
+    constraint evaluation runs on that tiny table.
+
+    constraints: ``{col: {"max_null_rate": x, "min": lo, "max": hi}}``
+    """
+
+    name = "column_stats"
+
+    def __init__(self, constraints: dict[str, dict[str, float]], part_col: str = "part"):
+        self.constraints = constraints
+        self.part_col = part_col
+
+    def _stats(self, df: DataFrame) -> DataFrame:
+        aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+        for c in self.constraints:
+            col = F.col(c).cast("double")
+            aggs += [
+                F.count(col).alias(f"{c}__nn"),
+                F.min(col).alias(f"{c}__min"),
+                F.max(col).alias(f"{c}__max"),
+                F.avg(col).alias(f"{c}__mean"),
+                F.stddev_pop(col).alias(f"{c}__std"),
+            ]
+        return df.groupBy(F.col(self.part_col).alias("part")).agg(*aggs)
+
+    def run(self, df: DataFrame) -> CheckOutput:
+        stats = self._stats(df)
+        viols: list[DataFrame] = []
+        metrics: list[DataFrame] = []
+        for c, bounds in self.constraints.items():
+            null_rate = (F.col("n_rows") - F.col(f"{c}__nn")) / F.col("n_rows")
+            stat_map = {
+                "null_rate": null_rate,
+                "min": F.col(f"{c}__min"),
+                "max": F.col(f"{c}__max"),
+                "mean": F.col(f"{c}__mean"),
+                "stddev": F.col(f"{c}__std"),
+                "n_non_null": F.col(f"{c}__nn"),
+            }
+            for metric, expr in stat_map.items():
+                metrics.append(
+                    stats.select(
+                        F.lit(self.name).alias("check"),
+                        F.col("part").cast("int"),
+                        F.lit(f"{c}.{metric}").alias("metric"),
+                        expr.cast("double").alias("value"),
+                    )
+                )
+            rules = [
+                ("max_null_rate", null_rate, lambda v, b: v > F.lit(b)),
+                ("min", F.col(f"{c}__min"), lambda v, b: v < F.lit(b)),
+                ("max", F.col(f"{c}__max"), lambda v, b: v > F.lit(b)),
+            ]
+            for key, expr, breach in rules:
+                if key in bounds:
+                    viols.append(
+                        stats.filter(breach(expr, bounds[key])).select(
+                            *_v(
+                                self.name,
+                                "error",
+                                c,
+                                None,
+                                F.col("part"),
+                                expr,
+                                bounds[key],
+                                f"{c} {key} breached",
+                            )
+                        )
+                    )
+        spark = df.sparkSession
+        violations = viols[0] if viols else empty_violations(spark)
+        for v in viols[1:]:
+            violations = violations.unionByName(v)
+        m = metrics[0]
+        for x in metrics[1:]:
+            m = m.unionByName(x)
+        return CheckOutput(violations, m)
+
+
+# ---------------------------------------------------------------------------
+# Uniqueness
+# ---------------------------------------------------------------------------
+
+
+class UniquenessCheck(Check):
+    """Duplicate-key detection on a (possibly heavily skewed) column.
+
+    Plan shape at 10^12 rows:
+    1. ``groupBy(key).count()`` — ONE shuffle on the key. Catalyst's
+       partial aggregation pre-combines every map partition before the
+       exchange, which is exactly the "salted two-stage" pattern: a
+       hot phash key arrives at its reducer as ≤ num_map_partitions
+       partial counts, never as raw rows. No manual salt needed for
+       the count itself.
+    2. ``filter(count > 1)`` — the duplicate-key dim table (usually
+       tiny relative to input).
+    3. join the dup keys back to the fact table to emit per-row
+       violations — AQE skew-join splits the hot buckets
+       (``spark.sql.adaptive.skewJoin.enabled``), and when the dup-key
+       table is small Catalyst broadcasts it (we hint when we can
+       prove it). We deliberately do NOT ``collect_list`` offender ids
+       per key — a 10^8-row hot key would OOM its reducer.
+    """
+
+    name = "uniqueness"
+
+    def __init__(self, key_col: str, entity_col: str = "image_id", part_col: str = "part"):
+        self.key_col = key_col
+        self.entity_col = entity_col
+        self.part_col = part_col
+        self.name = f"uniqueness_{key_col}"
+
+    def run(self, df: DataFrame) -> CheckOutput:
+        key = self.key_col
+        keys = df.groupBy(key).agg(F.count(F.lit(1)).alias("key_count"))
+        dup_keys = keys.filter(F.col("key_count") > 1)
+        violations = (
+            df.select(key, self.entity_col, self.part_col)
+            .join(dup_keys, key, "inner")
+            .select(
+                *_v(
+                    self.name,
+                    "error",
+                    key,
+                    F.col(self.entity_col),
+                    F.col(self.part_col),
+                    F.col(key),
+                    "unique",
+                    F.concat(F.lit("duplicate key (count="), F.col("key_count"), F.lit(")")),
+                )
+            )
+        )
+        metrics = keys.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.when(F.col("key_count") > 1, 1).otherwise(0)).alias("n_dup_keys"),
+            F.sum(F.when(F.col("key_count") > 1, F.col("key_count")).otherwise(0)).alias(
+                "n_dup_rows"
+            ),
+            F.max("key_count").alias("max_key_count"),
+        ).selectExpr(
+            f"stack(4, 'n_keys', cast(n_keys as double), "
+            f"'n_dup_keys', cast(n_dup_keys as double), "
+            f"'n_dup_rows', cast(n_dup_rows as double), "
+            f"'max_key_count', cast(max_key_count as double)) as (metric, value)"
+        ).select(
+            F.lit(self.name).alias("check"), F.lit(-1).alias("part"), "metric", "value"
+        )
+        return CheckOutput(violations, metrics)
+
+
+# ---------------------------------------------------------------------------
+# Referential integrity
+# ---------------------------------------------------------------------------
+
+
+class ReferentialCheck(Check):
+    """caption → image_id referential integrity via LEFT ANTI join.
+
+    The referenced id is extracted from the caption with a codegen'd
+    ``regexp_extract`` (never Python). At scale this is a big-big
+    equi-join on the id: AQE handles post-shuffle sizing; for repeated
+    runs, bucketing both sides by the id makes it shuffle-free.
+    """
+
+    name = "referential_caption"
+
+    def __init__(
+        self,
+        caption_col: str = "caption",
+        ref_col: str = "image_id",
+        pattern: str = r"(img_\d{12})",
+        part_col: str = "part",
+    ):
+        self.caption_col = caption_col
+        self.ref_col = ref_col
+        self.pattern = pattern
+        self.part_col = part_col
+
+    def run(self, df: DataFrame) -> CheckOutput:
+        referenced = df.select(
+            F.col(self.part_col).alias("part"),
+            F.col(self.ref_col).alias("entity"),
+            F.regexp_extract(F.col(self.caption_col), self.pattern, 1).alias("ref_id"),
+        )
+        ids = df.select(F.col(self.ref_col).alias("ref_id")).distinct()
+        orphans = referenced.filter(F.col("ref_id") != "").join(ids, "ref_id", "left_anti")
+        violations = orphans.select(
+            *_v(
+                self.name,
+                "error",
+                self.caption_col,
+                F.col("entity"),
+                F.col("part"),
+                F.col("ref_id"),
+                "must reference existing image_id",
+                "orphan caption reference",
+            )
+        )
+        n_orphans = violations.groupBy().agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(self.name).alias("check"),
+            F.lit(-1).alias("part"),
+            F.lit("n_orphans").alias("metric"),
+            F.col("n").cast("double").alias("value"),
+        )
+        return CheckOutput(violations, n_orphans)
+
+
+# ---------------------------------------------------------------------------
+# Payload validation (Arrow-batched decode)
+# ---------------------------------------------------------------------------
+
+
+class PayloadCheck(Check):
+    """Decode ``bytes`` per ``fmt`` in Arrow-batched ``mapInPandas``,
+    assert decodability + PSNR ≥ threshold vs the deterministic
+    reference pixels + exact caption equality (BASELINE input_hint
+    invariant). Emits only violation rows (sparse output).
+
+    Scale notes: the projection selects ONLY the payload columns so
+    the binary column never flows through other checks; Arrow batch
+    size is capped session-wide for MB-scale payload rows. The decode
+    kernel is pure numpy per image — the Python loop is over images in
+    an Arrow batch, not over pixels, matching the "vectorized pandas/
+    Arrow UDFs, never per-row [driver] Python" requirement.
+    """
+
+    name = "payload"
+
+    def __init__(
+        self,
+        psnr_db: float = 40.0,
+        reference_pixels: Callable[[str, int, int], np.ndarray] | None = None,
+        expected_caption: Callable[[str], str] | None = None,
+        part_col: str = "part",
+    ):
+        from anomaly_detection_toolkit_spark.sources import images as imgmod
+
+        self.psnr_db = psnr_db
+        self.reference_pixels = reference_pixels or (
+            lambda image_id, w, h: imgmod.gen_pixels(imgmod.id_num(image_id), w, h)
+        )
+        self.expected_caption = expected_caption or imgmod.caption_of
+        self.part_col = part_col
+
+    def run(self, df: DataFrame) -> CheckOutput:
+        name = self.name
+        psnr_db = self.psnr_db
+        ref_fn = self.reference_pixels
+        cap_fn = self.expected_caption
+        cols = df.select("image_id", "bytes", "fmt", "caption", F.col(self.part_col).alias("part"))
+
+        def check_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out: list[dict] = []
+                for image_id, buf, fmt, caption, part in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["caption"], pdf["part"]
+                ):
+                    part = int(part)
+
+                    def viol(column, value, threshold, message, level="error"):
+                        out.append(
+                            dict(
+                                check=name,
+                                level=level,
+                                column=column,
+                                entity_id=image_id,
+                                part=part,
+                                value=None if value is None else str(value),
+                                threshold=str(threshold),
+                                message=message,
+                            )
+                        )
+
+                    try:
+                        dec = codecs.decode(buf, fmt)
+                    except codecs.CodecError as e:
+                        viol("bytes", None, "decodable", f"decode failed: {e}")
+                        dec = None
+                    if dec is not None:
+                        h, w = dec.shape[:2]
+                        ref = ref_fn(image_id, w, h)
+                        p = codecs.psnr(ref, dec)
+                        lossless = fmt in codecs.LOSSLESS
+                        if (lossless and not np.array_equal(ref, dec)) or p < psnr_db:
+                            viol(
+                                "bytes",
+                                round(p, 2),
+                                ("exact" if lossless else f">={psnr_db}dB"),
+                                "decoded pixels diverge from reference",
+                            )
+                    expected = cap_fn(image_id)
+                    if caption != expected:
+                        viol("caption", caption, expected, "caption mismatch")
+                yield pd.DataFrame(out, columns=V_COLS) if out else pd.DataFrame(
+                    {c: pd.Series(dtype=object) for c in V_COLS}
+                )
+
+        violations = cols.mapInPandas(check_batch, schema=VIOLATION_SCHEMA)
+        metrics = violations.groupBy("part").agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("check"),
+            F.col("part").cast("int"),
+            F.lit("n_payload_violations").alias("metric"),
+            F.col("n").cast("double").alias("value"),
+        )
+        return CheckOutput(violations, metrics)
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (KS + PSI per partition vs global reference)
+# ---------------------------------------------------------------------------
+
+
+class DriftCheck(Check):
+    """Per-partition histogram drift vs the global distribution.
+
+    For each watched column a bucket expression maps values to a
+    small ordinal domain (raw w/h values, fmt codes, pmod(phash, 64)).
+    ONE ``groupBy(part, bucket)`` pass per column is the only big-data
+    aggregation; everything after runs on a (parts × buckets) grid of
+    at most a few thousand rows:
+
+    - KS statistic = max |CDF_part - CDF_global| over the bucket
+      ordering (window cumsum on the grid; the empirical-CDF max-gap
+      re-expression named in the north star) — the flagging score;
+    - PSI = Σ (p - q)·ln(p/q) with ε-clamped proportions — reported
+      as a metric; only used for flagging when ``psi_threshold`` is
+      set (PSI over-fires on buckets absent from one side, so KS is
+      the default gate).
+
+    A partition breaching a threshold yields one violation per
+    (part, column). These are the toolkit's anomaly primitives
+    (threshold-on-score, ``statistical.py:23-29``) applied to
+    distribution space.
+    """
+
+    name = "drift"
+
+    def __init__(
+        self,
+        columns: dict[str, Column] | None = None,
+        ks_threshold: float = 0.15,
+        psi_threshold: float | None = None,
+        part_col: str = "part",
+    ):
+        self.columns = columns
+        self.ks_threshold = ks_threshold
+        self.psi_threshold = psi_threshold
+        self.part_col = part_col
+
+    def default_columns(self) -> dict[str, Column]:
+        return {
+            "w": F.col("w").cast("double"),
+            "h": F.col("h").cast("double"),
+            "fmt": F.crc32(F.col("fmt")).cast("double"),
+            "phash": F.pmod(F.col("phash"), F.lit(64)).cast("double"),
+        }
+
+    def _drift_for(self, df: DataFrame, colname: str, bucket: Column) -> DataFrame:
+        eps = 1e-6
+        counts = (
+            df.select(F.col(self.part_col).alias("part"), bucket.alias("bucket"))
+            .filter(F.col("bucket").isNotNull())
+            .groupBy("part", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # everything below runs on tiny dimension tables (≤ parts×buckets
+        # rows) — broadcast joins only, windows partitioned by part.
+        parts = counts.select("part").distinct()
+        buckets = counts.select("bucket").distinct()
+        totals_p = counts.groupBy("part").agg(F.sum("c").alias("tot_p"))
+        totals_g = counts.agg(F.sum("c").alias("tot_g"))
+        gcounts = counts.groupBy("bucket").agg(F.sum("c").alias("gc"))
+        grid = (
+            parts.crossJoin(F.broadcast(buckets))
+            .join(counts, ["part", "bucket"], "left")
+            .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+            .join(F.broadcast(totals_p), "part")
+            .join(F.broadcast(gcounts), "bucket")
+            .crossJoin(F.broadcast(totals_g))
+        )
+        ordered = Window.partitionBy("part").orderBy("bucket")
+        enriched = (
+            grid.withColumn("p", F.col("c") / F.col("tot_p"))
+            .withColumn("q", F.col("gc") / F.col("tot_g"))
+            .withColumn("cdf_p", F.sum("p").over(ordered))
+            .withColumn("cdf_q", F.sum("q").over(ordered))
+        )
+        return enriched.groupBy("part").agg(
+            F.max(F.abs(F.col("cdf_p") - F.col("cdf_q"))).alias("ks"),
+            F.sum(
+                (F.col("p") - F.col("q"))
+                * F.log(
+                    (F.greatest(F.col("p"), F.lit(eps)))
+                    / (F.greatest(F.col("q"), F.lit(eps)))
+                )
+            ).alias("psi"),
+        ).withColumn("column", F.lit(colname))
+
+    def run(self, df: DataFrame) -> CheckOutput:
+        cols = self.columns or self.default_columns()
+        per_col = [self._drift_for(df, name, expr) for name, expr in cols.items()]
+        drift = per_col[0]
+        for d in per_col[1:]:
+            drift = drift.unionByName(d)
+        breach = F.col("ks") > self.ks_threshold
+        thr_desc = f"ks<={self.ks_threshold}"
+        if self.psi_threshold is not None:
+            breach = breach | (F.col("psi") > self.psi_threshold)
+            thr_desc += f",psi<={self.psi_threshold}"
+        violations = drift.filter(breach).select(
+            *_v(
+                self.name,
+                "warning",
+                F.col("column"),
+                None,
+                F.col("part"),
+                F.round(F.col("ks"), 4),
+                thr_desc,
+                "distribution drift vs global baseline",
+            )
+        )
+        metrics = drift.select(
+            F.lit(self.name).alias("check"),
+            F.col("part").cast("int"),
+            F.concat(F.col("column"), F.lit(".ks")).alias("metric"),
+            F.col("ks").cast("double").alias("value"),
+        ).unionByName(
+            drift.select(
+                F.lit(self.name).alias("check"),
+                F.col("part").cast("int"),
+                F.concat(F.col("column"), F.lit(".psi")).alias("metric"),
+                F.col("psi").cast("double").alias("value"),
+            )
+        )
+        return CheckOutput(violations, metrics)
+
+
+def default_suite() -> list[Check]:
+    """The standard north-star validation suite."""
+    return [
+        SchemaCheck(
+            {
+                "image_id": "string",
+                "bytes": "binary",
+                "w": "int",
+                "h": "int",
+                "fmt": "string",
+                "caption": "string",
+                "phash": "bigint",
+            }
+        ),
+        ColumnStatsCheck(
+            {
+                "w": {"max_null_rate": 0.001, "min": 1, "max": 65535},
+                "h": {"max_null_rate": 0.001, "min": 1, "max": 65535},
+                "phash": {"max_null_rate": 0.0},
+            }
+        ),
+        UniquenessCheck("image_id"),
+        UniquenessCheck("phash"),
+        ReferentialCheck(),
+        DriftCheck(),
+        PayloadCheck(),
+    ]

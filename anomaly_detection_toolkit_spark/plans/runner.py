@@ -1,0 +1,190 @@
+"""Validation suite runner: verdicts per (partition, check) + resume.
+
+Per-partition verdict semantics mirror the reference's -1/+1 encoding
+(``base.py:50-52``): a (part, check) cell fails (-1) iff it produced
+≥1 error-level violation; warnings leave it passing but are reported.
+
+Resumability (north-star requirement): a run is keyed by a snapshot id
+(content hash of the input's file listing — the parquet/Iceberg
+manifest analogue). The ledger records completed partitions; a re-run
+plans only the remainder by filtering on the partition column, which
+Catalyst turns into partition pruning on a Hive/Iceberg-partitioned
+table (only the remaining partitions' files are even listed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anomaly_detection_toolkit_spark.plans.checks import (
+    Check,
+    empty_metrics,
+    empty_violations,
+)
+
+VERDICT_SCHEMA = "part int, check string, n_errors long, n_warnings long, verdict int"
+
+
+@dataclass
+class SuiteResult:
+    verdicts: DataFrame
+    violations: DataFrame
+    metrics: DataFrame
+    parts_checked: list[int]
+
+
+def _union_all(dfs: list[DataFrame], empty: DataFrame) -> DataFrame:
+    if not dfs:
+        return empty
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def run_suite(
+    df: DataFrame,
+    checks: list[Check],
+    part_col: str = "part",
+    parts: list[int] | None = None,
+) -> SuiteResult:
+    """Run checks over (optionally a subset of) partitions.
+
+    ``parts=None`` runs everything; a list filters via the partition
+    column (partition pruning on partitioned storage).
+    """
+    spark = df.sparkSession
+    if parts is not None:
+        df = df.filter(F.col(part_col).isin([int(p) for p in parts]))
+
+    all_parts = [r[0] for r in df.select(part_col).distinct().collect()]
+
+    v_list, m_list = [], []
+    for check in checks:
+        out = check.run(df)
+        v_list.append(out.violations)
+        m_list.append(out.metrics)
+    violations = _union_all(v_list, empty_violations(spark))
+    metrics = _union_all(m_list, empty_metrics(spark))
+
+    # verdict grid: every (part, check) cell, failed iff >=1 error
+    counts = violations.groupBy("part", "check").agg(
+        F.sum(F.when(F.col("level") == "error", 1).otherwise(0)).alias("n_errors"),
+        F.sum(F.when(F.col("level") == "warning", 1).otherwise(0)).alias("n_warnings"),
+    )
+    parts_df = spark.createDataFrame([(int(p),) for p in all_parts], "part int")
+    checks_df = spark.createDataFrame([(c.name,) for c in checks], "check string")
+    grid = parts_df.crossJoin(checks_df)
+    verdicts = (
+        grid.join(counts, ["part", "check"], "left")
+        .withColumn("n_errors", F.coalesce(F.col("n_errors"), F.lit(0)).cast("long"))
+        .withColumn("n_warnings", F.coalesce(F.col("n_warnings"), F.lit(0)).cast("long"))
+        .withColumn(
+            "verdict", F.when(F.col("n_errors") > 0, F.lit(-1)).otherwise(F.lit(1)).cast("int")
+        )
+    )
+    # global (part = -1) violations fail every listed partition's cell?
+    # No — they are reported per check at part=-1 in the verdict table.
+    return SuiteResult(verdicts, violations, metrics, sorted(int(p) for p in all_parts))
+
+
+# ---------------------------------------------------------------------------
+# Resume ledger
+# ---------------------------------------------------------------------------
+
+
+def snapshot_id(input_path: str) -> str:
+    """Content hash of the input file listing (path, size, mtime) —
+    the manifest-fallback analogue of an Iceberg snapshot id (SURVEY
+    §7.0: Iceberg runtime jar absent in this environment)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for root, _dirs, files in sorted(os.walk(input_path)):
+        for fn in sorted(files):
+            if fn.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, fn)
+            st = os.stat(p)
+            h.update(f"{os.path.relpath(p, input_path)}:{st.st_size}".encode())
+    return h.hexdigest()[:16]
+
+
+class Ledger:
+    """JSON manifest: snapshot id + completed partitions + output lineage."""
+
+    def __init__(self, ledger_dir: str):
+        self.dir = ledger_dir
+        self.path = os.path.join(ledger_dir, "ledger.json")
+
+    def load(self) -> dict:
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                return json.load(f)
+        return {"snapshot_id": None, "completed_parts": [], "runs": []}
+
+    def save(self, state: dict) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.path)
+
+    def remaining_parts(self, snap: str, all_parts: list[int]) -> list[int]:
+        state = self.load()
+        if state["snapshot_id"] != snap:
+            return list(all_parts)  # new snapshot → full re-run
+        done = set(state["completed_parts"])
+        return [p for p in all_parts if p not in done]
+
+    def record(self, snap: str, parts: list[int], outputs: dict[str, str]) -> None:
+        state = self.load()
+        if state["snapshot_id"] != snap:
+            state = {"snapshot_id": snap, "completed_parts": [], "runs": []}
+        state["completed_parts"] = sorted(set(state["completed_parts"]) | set(parts))
+        state["runs"].append(
+            {"ts": time.time(), "parts": sorted(parts), "outputs": outputs}
+        )
+        self.save(state)
+
+
+def run_validation_job(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    checks: list[Check] | None = None,
+    part_col: str = "part",
+) -> SuiteResult | None:
+    """Resumable end-to-end job: plan remaining partitions from the
+    ledger, run the suite, append outputs, record completion.
+
+    Returns None if the ledger says everything is already validated
+    for the current snapshot (idempotent re-run)."""
+    from anomaly_detection_toolkit_spark.plans.checks import default_suite
+
+    checks = checks or default_suite()
+    df = spark.read.parquet(input_path)
+    snap = snapshot_id(input_path)
+    ledger = Ledger(os.path.join(output_dir, "_ledger"))
+    all_parts = sorted(r[0] for r in df.select(part_col).distinct().collect())
+    todo = ledger.remaining_parts(snap, all_parts)
+    if not todo:
+        return None
+    result = run_suite(df, checks, part_col=part_col, parts=todo)
+    outputs = {}
+    for name, out_df in (
+        ("verdicts", result.verdicts),
+        ("violations", result.violations),
+        ("metrics", result.metrics),
+    ):
+        path = os.path.join(output_dir, name)
+        out_df.write.mode("append").parquet(path)
+        outputs[name] = path
+    ledger.record(snap, result.parts_checked, outputs)
+    return result

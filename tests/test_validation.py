@@ -1,0 +1,163 @@
+"""End-to-end validation suite tests over the F1 image table:
+each injected defect class is caught by exactly the intended check,
+per-partition verdicts use the -1/+1 encoding, and the ledger makes
+re-runs resumable + idempotent.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_toolkit_spark.plans import checks as C
+from anomaly_detection_toolkit_spark.plans import runner as R
+from anomaly_detection_toolkit_spark.sources import images
+
+N = 3000
+N_PARTS = 8
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("imgs") / "t")
+    images.write_images(spark, path, N, n_parts=N_PARTS)
+    return spark.read.parquet(path)
+
+
+@pytest.fixture(scope="module")
+def truth(table):
+    return table.select("image_id", "defect", "part").toPandas()
+
+
+def test_uniqueness_image_id(table, truth):
+    out = C.UniquenessCheck("image_id").run(table)
+    v = out.violations.toPandas()
+    dup_ids = set(truth.loc[truth["defect"] == "dup_image_id", "image_id"])
+    assert dup_ids  # fixture injected some
+    assert dup_ids <= set(v["entity_id"])  # every dup id flagged
+    # both rows of each duplicate pair are violations
+    assert len(v) >= 2 * len(dup_ids)
+    m = out.metrics.toPandas().set_index("metric")["value"]
+    assert m["n_dup_keys"] >= len(dup_ids)
+    assert m["max_key_count"] >= 2
+
+
+def test_uniqueness_phash_hot_bucket(table, truth):
+    out = C.UniquenessCheck("phash").run(table)
+    v = out.violations.toPandas()
+    hot = truth[truth["defect"] == "hot_phash"]
+    assert len(hot) > 3
+    assert set(hot["image_id"]) <= set(v["entity_id"])
+    m = out.metrics.toPandas().set_index("metric")["value"]
+    assert m["max_key_count"] >= len(hot)  # the skewed hot key
+
+
+def test_referential_orphans(table, truth):
+    out = C.ReferentialCheck().run(table)
+    v = out.violations.toPandas()
+    orphans = truth[truth["defect"] == "orphan_caption"]
+    assert len(orphans) > 0
+    assert set(orphans["image_id"]) == set(v["entity_id"])
+
+
+def test_payload_check(table, truth):
+    out = C.PayloadCheck().run(table)
+    v = out.violations.toPandas()
+    by_kind = {
+        "corrupt_bytes": v[v["message"].str.startswith("decode failed")],
+        "caption_bad": v[v["message"] == "caption mismatch"],
+    }
+    for kind, sub in by_kind.items():
+        expected = set(truth.loc[truth["defect"] == kind, "image_id"])
+        assert expected <= set(sub["entity_id"]), kind
+    nulls = set(truth.loc[truth["defect"] == "null_bytes", "image_id"])
+    assert nulls <= set(v[v["message"].str.contains("null payload")]["entity_id"])
+    # clean rows produce NO payload violations (orphan captions still
+    # match the template of the id they name, dup ids decode fine)
+    clean = set(truth.loc[truth["defect"].isna(), "image_id"])
+    flagged = set(v["entity_id"])
+    assert not (clean - set(truth.loc[truth["defect"].notna(), "image_id"])) & flagged
+
+
+def test_column_stats_nulls(table, truth):
+    out = C.ColumnStatsCheck(
+        {"w": {"max_null_rate": 0.0001}, "h": {"max_null_rate": 0.0001}}
+    ).run(table)
+    v = out.violations.toPandas()
+    null_parts = set(truth.loc[truth["defect"] == "null_dims", "part"])
+    assert null_parts
+    assert null_parts == set(v.loc[v["column"] == "w", "part"])
+    m = out.metrics.toPandas()
+    assert {"w.null_rate", "w.mean", "h.stddev"} <= set(m["metric"].unique())
+
+
+def test_drift_detects_drifted_partitions(table, truth):
+    out = C.DriftCheck().run(table)
+    v = out.violations.toPandas()
+    drifted = set(truth.loc[truth["defect"] == "drift", "part"])
+    assert drifted
+    flagged = set(v["part"])
+    assert drifted <= flagged
+    # non-drifted partitions should not all be flagged
+    assert len(flagged) < N_PARTS
+
+
+def test_schema_check(table):
+    ok = C.SchemaCheck({"image_id": "string", "phash": "bigint"}).run(table)
+    assert ok.violations.count() == 0
+    bad = C.SchemaCheck({"missing_col": "string", "w": "string"}).run(table)
+    v = bad.violations.toPandas()
+    assert set(v["column"]) == {"missing_col", "w"}
+
+
+def test_run_suite_verdicts(table, truth):
+    result = R.run_suite(table, C.default_suite())
+    verd = result.verdicts.toPandas()
+    assert set(verd["verdict"].unique()) <= {-1, 1}
+    assert len(verd) == len(result.parts_checked) * len(C.default_suite())
+    # a partition with an injected dup fails uniqueness_image_id
+    dup_parts = set(truth.loc[truth["defect"] == "dup_image_id", "part"])
+    failed = set(
+        verd[(verd["check"] == "uniqueness_image_id") & (verd["verdict"] == -1)]["part"]
+    )
+    assert dup_parts <= failed
+    # drift violations are warnings → drift cells stay verdict=+1
+    drift_cells = verd[verd["check"] == "drift"]
+    assert (drift_cells["verdict"] == 1).all()
+    assert (drift_cells["n_warnings"] > 0).any()
+
+
+def test_clean_table_all_pass(spark):
+    df = images.generate_images(spark, 800, n_parts=4, cfg=images.CLEAN)
+    result = R.run_suite(df, C.default_suite())
+    verd = result.verdicts.toPandas()
+    assert (verd["verdict"] == 1).all()
+    assert result.violations.filter(F.col("level") == "error").count() == 0
+
+
+def test_resumable_ledger(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    images.write_images(spark, src, 1000, n_parts=4)
+    suite = [C.UniquenessCheck("image_id"), C.ReferentialCheck()]
+
+    r1 = R.run_validation_job(spark, src, out, checks=suite)
+    assert r1 is not None and r1.parts_checked == [0, 1, 2, 3]
+    # idempotent: second run does nothing
+    r2 = R.run_validation_job(spark, src, out, checks=suite)
+    assert r2 is None
+    # simulate partial completion → only the remainder is planned
+    led = R.Ledger(f"{out}/_ledger")
+    state = led.load()
+    state["completed_parts"] = [0, 1]
+    led.save(state)
+    r3 = R.run_validation_job(spark, src, out, checks=suite)
+    assert r3 is not None and r3.parts_checked == [2, 3]
+    # snapshot change → full re-run planned
+    snap = R.snapshot_id(src)
+    state = led.load()
+    assert state["snapshot_id"] == snap
+    state["snapshot_id"] = "stale"
+    led.save(state)
+    r4 = R.run_validation_job(spark, src, out, checks=suite)
+    assert r4 is not None and r4.parts_checked == [0, 1, 2, 3]
