@@ -14,6 +14,7 @@ from typing import Dict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from anomaly_detection_toolkit_spark.operators import pm
 from anomaly_detection_toolkit_spark.operators.statistical import (
     IQROutlierDetector,
     SeasonalBaselineDetector,
@@ -158,4 +159,137 @@ def column_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.avg(v)).alias("mean_v"),
         r4(F.stddev_pop(v)).alias("stddev_v"),
         F.count_distinct(v).alias("n_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SURVEY §2 ops 37/38/45: grouped rolling window statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pm_rolling_events",
+    """
+    SELECT event_id,
+           round(avg(value) OVER w, 4) AS rmean,
+           round(stddev_samp(value) OVER w, 4) AS rstd,
+           round(min(value) OVER w, 4) AS rmin,
+           round(max(value) OVER w, 4) AS rmax,
+           round(quantile_cont(value, 0.5) OVER w, 4) AS rmedian
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def pm_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, "events", sf_dir)
+    out = pm.rolling_stats(
+        df,
+        ["value"],
+        [5],
+        partition_by=["event_type"],
+        order_by=["ts", "event_id"],
+        stats=("mean", "std", "min", "max", "median"),
+    )
+    return out.select(
+        "event_id",
+        r4(F.col("value_rolling_mean_5")).alias("rmean"),
+        r4(F.col("value_rolling_std_5")).alias("rstd"),
+        r4(F.col("value_rolling_min_5")).alias("rmin"),
+        r4(F.col("value_rolling_max_5")).alias("rmax"),
+        r4(F.col("value_rolling_median_5")).alias("rmedian"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SURVEY §2 ops 39/40/46: diff / pct_change / rate-of-change
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pm_change_events",
+    """
+    SELECT event_id,
+           round(value - lag(value, 1) OVER w, 4) AS diff1,
+           round((value - lag(value, 1) OVER w)
+                 - (lag(value, 1) OVER w - lag(value, 2) OVER w), 4) AS diff2,
+           round((value - lag(value, 1) OVER w) / lag(value, 1) OVER w, 4) AS pct_change,
+           round((value - lag(value, 5) OVER w) / lag(value, 5) OVER w, 4) AS roc_5
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    """,
+)
+def pm_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, "events", sf_dir)
+    out = pm.change_features(df, ["value"], ["event_type"], ["ts", "event_id"])
+    out = pm.rate_of_change(out, ["value"], [5], ["event_type"], ["ts", "event_id"])
+    return out.select(
+        "event_id",
+        r4(F.col("value_diff")).alias("diff1"),
+        r4(F.col("value_diff2")).alias("diff2"),
+        r4(F.col("value_pct_change")).alias("pct_change"),
+        r4(F.col("value_roc_5")).alias("roc_5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SURVEY §2 ops 43/44: RUL + health labels (lineitem as the asset panel)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pm_rul_lineitem",
+    """
+    WITH r AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(greatest(0, max(l_linenumber) OVER (PARTITION BY l_orderkey)
+                              - l_linenumber) AS INTEGER) AS rul
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, rul,
+           CASE WHEN rul > 3 THEN 'healthy'
+                WHEN rul > 1 AND rul <= 3 THEN 'warning'
+                WHEN rul > 0 AND rul <= 1 THEN 'critical'
+                WHEN rul = 0 THEN 'failed'
+                ELSE 'unknown' END AS health_status,
+           CAST(CASE WHEN rul > 3 THEN 0 ELSE 1 END AS INTEGER) AS binary_label,
+           CAST(CASE WHEN rul > 3 THEN 0
+                     WHEN rul > 1 AND rul <= 3 THEN 1
+                     WHEN rul > 0 AND rul <= 1 THEN 2
+                     WHEN rul = 0 THEN 3
+                     ELSE -1 END AS INTEGER) AS multi_class_label
+    FROM r
+    """,
+)
+def pm_rul_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, "lineitem", sf_dir)
+    out = pm.calculate_rul(df, "l_orderkey", "l_linenumber", out_col="rul")
+    out = pm.create_rul_labels(
+        out, rul_col="rul", warning_threshold=3, critical_threshold=1
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("rul").cast("int").alias("rul"),
+        "health_status",
+        "binary_label",
+        "multi_class_label",
+    )
+
+
+# ---------------------------------------------------------------------------
+# SURVEY §2 op-41: FFT spectral constants per series (non-SQL → rows-only)
+# ---------------------------------------------------------------------------
+
+
+@register("pm_fft_events")  # numpy rfft is not ANSI-SQL-expressible
+def pm_fft_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, "events", sf_dir)
+    out = pm.fft_features(df, "value", "event_type", ["ts", "event_id"])
+    return out.select(
+        "event_id",
+        "event_type",
+        r4(F.col("value_dominant_freq")).alias("dominant_freq"),
+        r4(F.col("value_spectral_centroid")).alias("spectral_centroid"),
+        r4(F.col("value_spectral_rolloff")).alias("spectral_rolloff"),
     )
