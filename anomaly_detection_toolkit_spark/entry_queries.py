@@ -213,8 +213,8 @@ def pm_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(value - lag(value, 1) OVER w, 4) AS diff1,
            round((value - lag(value, 1) OVER w)
                  - (lag(value, 1) OVER w - lag(value, 2) OVER w), 4) AS diff2,
-           round((value - lag(value, 1) OVER w) / lag(value, 1) OVER w, 4) AS pct_change,
-           round((value - lag(value, 5) OVER w) / lag(value, 5) OVER w, 4) AS roc_5
+           round((value - lag(value, 1) OVER w) / nullif(lag(value, 1) OVER w, 0), 4) AS pct_change,
+           round((value - lag(value, 5) OVER w) / nullif(lag(value, 5) OVER w, 0), 4) AS roc_5
     FROM events
     WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
     """,

@@ -96,11 +96,16 @@ def change_features(
         d1 = col - F.lag(col, 1).over(w)
         out = out.withColumn(f"{c}_diff", d1)
         d2 = F.col(f"{c}_diff") - F.lag(F.col(f"{c}_diff"), 1).over(w)
+        # try_divide: a zero previous value yields NULL (ANSI-safe at
+        # scale — one bad row must never abort a 10^12-row job).
+        # pandas would yield ±inf here; engine policy is SQL NULL.
         out = out.withColumns(
             {
                 f"{c}_diff2": d2,
                 f"{c}_diff_abs": F.abs(F.col(f"{c}_diff")),
-                f"{c}_pct_change": (col - F.lag(col, 1).over(w)) / F.lag(col, 1).over(w),
+                f"{c}_pct_change": F.try_divide(
+                    col - F.lag(col, 1).over(w), F.lag(col, 1).over(w)
+                ),
             }
         )
         out = out.withColumn(f"{c}_diff2_abs", F.abs(F.col(f"{c}_diff2")))
@@ -125,7 +130,7 @@ def rate_of_change(
         for p in periods:
             lagged = F.lag(col, p).over(w)
             out = out.withColumn(
-                name_template.format(col=c, p=p), (col - lagged) / lagged
+                name_template.format(col=c, p=p), F.try_divide(col - lagged, lagged)
             )
     return out
 

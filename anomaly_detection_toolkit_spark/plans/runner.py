@@ -70,7 +70,10 @@ def run_suite(
         out = check.run(df)
         v_list.append(out.violations)
         m_list.append(out.metrics)
-    violations = _union_all(v_list, empty_violations(spark))
+    # persist the (sparse) violation rows: they feed both the verdict
+    # grid aggregation and the violations sink — without this every
+    # consumer would re-run all checks against the full input
+    violations = _union_all(v_list, empty_violations(spark)).persist()
     metrics = _union_all(m_list, empty_metrics(spark))
 
     # verdict grid: every (part, check) cell, failed iff >=1 error
@@ -78,9 +81,12 @@ def run_suite(
         F.sum(F.when(F.col("level") == "error", 1).otherwise(0)).alias("n_errors"),
         F.sum(F.when(F.col("level") == "warning", 1).otherwise(0)).alias("n_warnings"),
     )
-    parts_df = spark.createDataFrame([(int(p),) for p in all_parts], "part int")
-    checks_df = spark.createDataFrame([(c.name,) for c in checks], "check string")
-    grid = parts_df.crossJoin(checks_df)
+    # build the (part × check) grid driver-side in ONE tiny DataFrame:
+    # a crossJoin of two createDataFrame results would inherit
+    # defaultParallelism partitions on each side → a 32×32=1024-task
+    # cartesian for a 56-row grid (pure scheduling overhead)
+    grid_rows = [(int(p), c.name) for p in all_parts for c in checks]
+    grid = spark.createDataFrame(grid_rows, "part int, check string").coalesce(1)
     verdicts = (
         grid.join(counts, ["part", "check"], "left")
         .withColumn("n_errors", F.coalesce(F.col("n_errors"), F.lit(0)).cast("long"))

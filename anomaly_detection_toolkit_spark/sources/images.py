@@ -40,6 +40,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from anomaly_detection_toolkit_spark.functions import codecs
 
@@ -229,8 +230,24 @@ def write_images(
     seed: int = 42,
     n_parts: int = 8,
     cfg: DefectConfig = DefectConfig(),
+    files_per_part: int = 4,
 ) -> None:
     """Write the table Hive-partitioned by ``part`` (the resumability
-    and partition-pruning unit for the validation ledger)."""
+    and partition-pruning unit for the validation ledger).
+
+    Rows are clustered by (part, salt) before the partitioned write so
+    each part directory gets ~``files_per_part`` right-sized files
+    instead of (spark_partitions × n_parts) shards. Multiple files per
+    part keep downstream scan tasks fine-grained enough that the
+    heavy partitions (drifted parts have 4-16× the pixel volume) don't
+    become stragglers — the same reasoning as sizing
+    ``spark.sql.files.maxPartitionBytes`` at cluster scale.
+    """
     df = generate_images(spark, n, seed, n_parts, cfg)
-    df.write.mode("overwrite").partitionBy("part").parquet(path)
+    salt = F.pmod(F.xxhash64("image_id"), F.lit(files_per_part))
+    (
+        df.repartition(n_parts * files_per_part, F.col("part"), salt)
+        .write.mode("overwrite")
+        .partitionBy("part")
+        .parquet(path)
+    )

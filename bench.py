@@ -1,0 +1,107 @@
+"""Benchmark entry point (driver-run per round).
+
+Runs the headline workloads and prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "images_per_sec": ...}``
+
+Workloads:
+- ``validation_suite``: the north-star job — full check suite
+  (schema, column stats, uniqueness x2, referential, drift, payload
+  decode) over a deterministic synthetic image+caption table
+  (generated once into ``.bench_cache/`` and reused).
+- every driver-contract query from ``entry_queries`` at
+  ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1), executed to
+  a ``noop`` sink so the whole plan is computed (a bare ``count()``
+  would let Catalyst prune the projections we're measuring).
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, ADT_BENCH_IMAGES
+(default 20000), ADT_BENCH_PARTS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from anomaly_detection_toolkit_spark.session import get_spark  # noqa: E402
+
+
+def _noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def ensure_image_table(spark, n: int, n_parts: int) -> str:
+    """Generate the bench image table once; reuse across rounds."""
+    path = str(REPO / ".bench_cache" / f"images_n{n}_p{n_parts}")
+    marker = Path(path) / "_SUCCESS"
+    if not marker.exists():
+        from anomaly_detection_toolkit_spark.sources import images
+
+        images.write_images(spark, path, n, n_parts=n_parts)
+    return path
+
+
+def bench_validation_suite(spark, img_path: str) -> tuple[float, int]:
+    from anomaly_detection_toolkit_spark.plans.checks import default_suite
+    from anomaly_detection_toolkit_spark.plans.runner import run_suite
+
+    df = spark.read.parquet(img_path)
+    n_images = df.count()  # warm the file listing; not part of timing
+    t0 = time.perf_counter()
+    result = run_suite(df, default_suite())
+    result.violations.persist()
+    _noop_write(result.violations)
+    _noop_write(result.verdicts)
+    _noop_write(result.metrics)
+    dt = time.perf_counter() - t0
+    result.violations.unpersist()
+    return dt, n_images
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    n_images = int(os.environ.get("ADT_BENCH_IMAGES", "20000"))
+    n_parts = int(os.environ.get("ADT_BENCH_PARTS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark("adt-bench", cpus=cpus)
+
+    timings: dict[str, float] = {}
+
+    img_path = ensure_image_table(spark, n_images, n_parts)
+    suite_sec, n_img = bench_validation_suite(spark, img_path)
+    timings["validation_suite"] = round(suite_sec, 3)
+
+    from anomaly_detection_toolkit_spark import entry_queries
+
+    for name, fn in sorted(entry_queries.QUERIES.items()):
+        t0 = time.perf_counter()
+        _noop_write(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "validation suite + driver queries wall-time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "images": n_img,
+                "images_per_sec": round(n_img / suite_sec, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
