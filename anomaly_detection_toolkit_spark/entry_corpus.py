@@ -1,0 +1,455 @@
+"""Driver-contract pairs for the training-data pipeline operators:
+text analysis, deduplication, and embedding similarity search.
+
+The DuckDB oracles for MinHash / SimHash / SRP-LSH are *generated*
+from the same constants the Spark operators use (permutation params,
+hyperplane signs), so signatures and buckets match bit-for-bit —
+every hash bottoms out in md5, which both engines share (see
+``operators/text.py`` docstring for the 60-bit hash construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anomaly_detection_toolkit_spark.entry_queries import r4, register
+from anomaly_detection_toolkit_spark.operators import dedup, similarity, text
+from anomaly_detection_toolkit_spark.operators.dedup import MERSENNE31, _perm_params
+from anomaly_detection_toolkit_spark.sources.testdata import load_table
+
+# shared SQL fragments --------------------------------------------------------
+
+NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+HASH60_SQL = "CAST(CONCAT('0x', SUBSTRING(md5({x}), 1, 15)) AS BIGINT)"
+BPE_RE_SQL = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+
+TOKS_CTE = f"""
+    t AS (
+      SELECT doc_id, text, {NORM_SQL} AS norm,
+             string_split({NORM_SQL}, ' ') AS toks
+      FROM documents
+    )
+"""
+
+
+def _stoplist_sql(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in text.STOPWORDS[lang])
+
+
+# ---------------------------------------------------------------------------
+# Text quality features
+# ---------------------------------------------------------------------------
+
+
+_QUALITY_SQL = f"""
+    WITH {TOKS_CTE},
+    q AS (
+      SELECT doc_id, text, norm,
+             CASE WHEN length(norm) = 0 THEN 0 ELSE len(toks) END AS n_tok,
+             toks
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tok AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_RE_SQL}')) AS INTEGER) AS n_bpe_tokens,
+           round(CASE WHEN n_tok > 0
+                      THEN (length(norm) - (n_tok - 1)) / CAST(n_tok AS DOUBLE)
+                      ELSE 0.0 END, 4) AS mean_word_len,
+           round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                 / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS punct_ratio,
+           round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                 / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS digit_ratio,
+           round(CASE WHEN n_tok > 0
+                      THEN len(list_filter(toks, x -> x IN ({_stoplist_sql('en')})))
+                           / CAST(n_tok AS DOUBLE)
+                      ELSE 0.0 END, 4) AS stopword_ratio,
+           round(
+             CAST(n_tok BETWEEN 10 AND 100000 AS DOUBLE) * 0.4
+             + CAST((CASE WHEN n_tok > 0
+                          THEN (length(norm) - (n_tok - 1)) / CAST(n_tok AS DOUBLE)
+                          ELSE 0.0 END) BETWEEN 2.0 AND 12.0 AS DOUBLE) * 0.2
+             + (1.0 - least((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                            / CAST(greatest(length(text), 1) AS DOUBLE) * 5, 1.0)) * 0.2
+             + least((CASE WHEN n_tok > 0
+                           THEN len(list_filter(toks, x -> x IN ({_stoplist_sql('en')})))
+                                / CAST(n_tok AS DOUBLE)
+                           ELSE 0.0 END) * 5, 1.0) * 0.2, 4) AS quality_score
+    FROM q
+"""
+
+
+@register("text_quality_documents", _QUALITY_SQL)
+def text_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, "documents", sf_dir)
+    out = text.quality_features(df)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_bpe_tokens",
+        r4(F.col("mean_word_len")).alias("mean_word_len"),
+        r4(F.col("punct_ratio")).alias("punct_ratio"),
+        r4(F.col("digit_ratio")).alias("digit_ratio"),
+        r4(F.col("stopword_ratio")).alias("stopword_ratio"),
+        r4(F.col("quality_score")).alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic
+# ---------------------------------------------------------------------------
+
+
+_HITS_SQL = {
+    lang: f"len(list_filter(toks, x -> x IN ({_stoplist_sql(lang)})))"
+    for lang in text.LANG_ORDER
+}
+
+_LANGID_SQL = f"""
+    WITH {TOKS_CTE},
+    h AS (
+      SELECT doc_id,
+             {_HITS_SQL['en']} AS hits_en,
+             {_HITS_SQL['de']} AS hits_de,
+             {_HITS_SQL['fr']} AS hits_fr,
+             {_HITS_SQL['es']} AS hits_es
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
+                WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+                WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+                WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+                ELSE 'es' END AS pred_lang,
+           CAST(hits_en AS INTEGER) AS hits_en,
+           CAST(hits_de AS INTEGER) AS hits_de,
+           CAST(hits_fr AS INTEGER) AS hits_fr,
+           CAST(hits_es AS INTEGER) AS hits_es
+    FROM h
+"""
+
+
+@register("text_langid_documents", _LANGID_SQL)
+def text_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, "documents", sf_dir)
+    out = text.add_lang_id(df)
+    return out.select("doc_id", "pred_lang", "hits_en", "hits_de", "hits_fr", "hits_es")
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprints (md5 + 60-bit numeric)
+# ---------------------------------------------------------------------------
+
+
+_FP_SQL = f"""
+    SELECT doc_id,
+           md5({NORM_SQL}) AS fingerprint,
+           {HASH60_SQL.format(x=f'md5({NORM_SQL})')} AS fingerprint60
+    FROM documents
+"""
+
+
+@register("text_fingerprint_documents", _FP_SQL)
+def text_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, "documents", sf_dir)
+    return text.add_fingerprints(df).select("doc_id", "fingerprint", "fingerprint60")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+_EXACT_SQL = f"""
+    WITH f AS (SELECT doc_id, md5({NORM_SQL}) AS fingerprint FROM documents)
+    SELECT doc_id, fingerprint,
+           CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS group_size,
+           CAST(row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS INTEGER)
+             AS dup_rank,
+           CAST(CASE WHEN row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) > 1
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_duplicate
+    FROM f
+"""
+
+
+@register("dedup_exact_documents", _EXACT_SQL)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, "documents", sf_dir)
+    return dedup.exact_duplicates(df).select(
+        "doc_id", "fingerprint", "group_size", "dup_rank", "is_duplicate"
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup pairs (inverted-index join)
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CTE = f"""
+    {TOKS_CTE},
+    g AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(toks) - 1, 1))]) AS sh
+      FROM t
+    )
+"""
+
+_JACCARD_SQL = f"""
+    WITH {_SHINGLE_CTE},
+    sized AS (SELECT doc_id, len(sh) AS n_sh, sh FROM g WHERE len(sh) > 0),
+    ex AS (SELECT doc_id, unnest(sh) AS gram FROM sized),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b, i.inter,
+           round(i.inter / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE), 4) AS jaccard
+    FROM inter i
+    JOIN sized sa ON sa.doc_id = i.id_a
+    JOIN sized sb ON sb.doc_id = i.id_b
+    WHERE i.inter / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= 0.2
+"""
+
+
+@register("dedup_ngram_jaccard_documents", _JACCARD_SQL)
+def dedup_ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, "documents", sf_dir)
+    out = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.2)
+    return out.select("id_a", "id_b", "inter", r4(F.col("jaccard")).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + banded-LSH near-dup pairs
+# ---------------------------------------------------------------------------
+
+_NUM_PERM, _BANDS = 16, 4
+_PERMS = _perm_params(_NUM_PERM)
+
+_minhash_terms = ",\n           ".join(
+    f"coalesce(list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE31})), "
+    f"{MERSENNE31}) AS s{i}"
+    for i, (a, b) in enumerate(_PERMS)
+)
+
+_SIG_CTE = f"""
+    {_SHINGLE_CTE},
+    h AS (
+      SELECT doc_id,
+             list_transform(sh, s -> {HASH60_SQL.format(x='s')} % 1073741824) AS hs
+      FROM g
+    ),
+    sig AS (
+      SELECT doc_id,
+           {_minhash_terms}
+      FROM h
+    )
+"""
+
+_MINHASH_SIG_SQL = f"""
+    WITH {_SIG_CTE}
+    SELECT doc_id, {', '.join(f's{i}' for i in range(_NUM_PERM))}
+    FROM sig
+"""
+
+
+@register("dedup_minhash_sig_documents", _MINHASH_SIG_SQL)
+def dedup_minhash_sig_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, "documents", sf_dir)
+    hashed = df.select("doc_id", dedup.hashed_shingles(F.col("text"), 3).alias("hs"))
+    sig = dedup.minhash_from_hashes(F.col("hs"), _NUM_PERM)
+    return hashed.select(
+        "doc_id", *[sig[i].alias(f"s{i}") for i in range(_NUM_PERM)]
+    )
+
+
+_rows_per_band = _NUM_PERM // _BANDS
+_band_exprs = [
+    "md5(concat_ws(',', '{b}', {vals}))".format(
+        b=bi,
+        vals=", ".join(
+            f"CAST(s{bi * _rows_per_band + r} AS VARCHAR)" for r in range(_rows_per_band)
+        ),
+    )
+    for bi in range(_BANDS)
+]
+_agree_sql = " + ".join(
+    f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(_NUM_PERM)
+)
+
+_MINHASH_PAIRS_SQL = f"""
+    WITH {_SIG_CTE},
+    banded AS (
+      SELECT doc_id, {', '.join(f's{i}' for i in range(_NUM_PERM))},
+             unnest([{', '.join(_band_exprs)}]) AS band_key
+      FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           round(({_agree_sql.replace('a.s', 'sa.s').replace('b.s', 'sb.s')})
+                 / {float(_NUM_PERM)}, 4) AS est_jaccard
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b
+    WHERE ({_agree_sql.replace('a.s', 'sa.s').replace('b.s', 'sb.s')})
+          / {float(_NUM_PERM)} >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh_documents", _MINHASH_PAIRS_SQL)
+def dedup_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, "documents", sf_dir)
+    out = dedup.minhash_lsh_pairs(df, num_perm=_NUM_PERM, bands=_BANDS, threshold=0.5)
+    return out.select("id_a", "id_b", r4(F.col("est_jaccard")).alias("est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+_simhash_terms = " + ".join(
+    f"CASE WHEN coalesce(list_sum(list_transform(th, "
+    f"h -> CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END)), 0) >= 0 "
+    f"THEN CAST({1 << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    for k in range(_SIMHASH_BITS)
+)
+
+_SIMHASH_SQL = f"""
+    WITH {TOKS_CTE},
+    h AS (
+      SELECT doc_id,
+             list_transform(list_distinct(toks), x -> {HASH60_SQL.format(x='x')}) AS th
+      FROM t
+    )
+    SELECT doc_id, CAST({_simhash_terms} AS BIGINT) AS simhash
+    FROM h
+"""
+
+
+@register("dedup_simhash_documents", _SIMHASH_SQL)
+def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, "documents", sf_dir)
+    th = df.select("doc_id", dedup.token_hashes(F.col("text")).alias("th"))
+    return th.select(
+        "doc_id", dedup.simhash_from_hashes(F.col("th"), _SIMHASH_BITS).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_DIM, _K, _N_QUERIES = 64, 5, 10
+
+_E_CTE = f"""
+    e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+"""
+
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, {d}), "
+    "i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))"
+).format(d=_DIM + 1, a="{a}", b="{b}")
+
+_ANN_BRUTE_SQL = f"""
+    WITH {_E_CTE},
+    q AS (SELECT * FROM e WHERE vec_id < {_N_QUERIES}),
+    s AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             {_DOT_SQL.format(a='q', b='e')} / (q.nrm * e.nrm) AS cs
+      FROM e, q WHERE e.vec_id <> q.vec_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(cs, 6) DESC, neighbor_id) AS rnk
+      FROM s
+    )
+    SELECT query_id, neighbor_id, round(cs, 4) AS cosine_sim, CAST(rnk AS INTEGER) AS rank
+    FROM r WHERE rnk <= {_K}
+"""
+
+
+@register("ann_brute_topk_embeddings", _ANN_BRUTE_SQL)
+def ann_brute_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    out = similarity.brute_force_topk(emb, queries, k=_K)
+    return out.select(
+        "query_id", "neighbor_id", r4(F.col("cosine_sim")).alias("cosine_sim"), "rank"
+    )
+
+
+_N_PLANES = 4
+_PLANES = similarity.plane_signs(_N_PLANES, _DIM)
+
+
+def _bucket_sql(alias: str) -> str:
+    plane_cases = []
+    for p, signs in enumerate(_PLANES):
+        dotp = " + ".join(
+            f"({float(s)}) * CAST({alias}.embedding[{i + 1}] AS DOUBLE)"
+            for i, s in enumerate(signs)
+        )
+        plane_cases.append(f"(CASE WHEN ({dotp}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(plane_cases) + ")"
+
+
+_ANN_LSH_SQL = f"""
+    WITH {_E_CTE},
+    eb AS (SELECT e.vec_id, e.embedding, e.nrm, {_bucket_sql('e')} AS bucket FROM e),
+    q AS (SELECT * FROM eb WHERE vec_id < {_N_QUERIES}),
+    s AS (
+      SELECT q.vec_id AS query_id, eb.vec_id AS neighbor_id,
+             {_DOT_SQL.format(a='q', b='eb')} / (q.nrm * eb.nrm) AS cs
+      FROM eb JOIN q ON eb.bucket = q.bucket AND eb.vec_id <> q.vec_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(cs, 6) DESC, neighbor_id) AS rnk
+      FROM s
+    )
+    SELECT query_id, neighbor_id, round(cs, 4) AS cosine_sim, CAST(rnk AS INTEGER) AS rank
+    FROM r WHERE rnk <= {_K}
+"""
+
+
+@register("ann_lsh_topk_embeddings", _ANN_LSH_SQL)
+def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    out = similarity.lsh_topk(emb, queries, k=_K, n_planes=_N_PLANES, dim=_DIM)
+    return out.select(
+        "query_id", "neighbor_id", r4(F.col("cosine_sim")).alias("cosine_sim"), "rank"
+    )
+
+
+_NEAR_DUP_MIN_COS = 0.4
+
+_NEAR_DUP_SQL = f"""
+    WITH {_E_CTE},
+    eb AS (SELECT e.vec_id, e.embedding, e.nrm, {_bucket_sql('e')} AS bucket FROM e)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_DOT_SQL.format(a='a', b='b')} / (a.nrm * b.nrm), 4) AS cosine_sim
+    FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_DOT_SQL.format(a='a', b='b')} / (a.nrm * b.nrm) >= {_NEAR_DUP_MIN_COS}
+"""
+
+
+@register("dedup_embedding_cosine_pairs", _NEAR_DUP_SQL)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = similarity.embedding_near_dup_pairs(
+        emb, min_cosine=_NEAR_DUP_MIN_COS, n_planes=_N_PLANES, dim=_DIM
+    )
+    return out.select("id_a", "id_b", r4(F.col("cosine_sim")).alias("cosine_sim"))

@@ -293,3 +293,8 @@ def pm_fft_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("value_spectral_centroid")).alias("spectral_centroid"),
         r4(F.col("value_spectral_rolloff")).alias("spectral_rolloff"),
     )
+
+
+# populate the registry with the training-data pipeline pairs
+# (import at module bottom so `register`/`r4` exist when they run)
+from anomaly_detection_toolkit_spark import entry_corpus  # noqa: E402,F401

@@ -1,0 +1,346 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, each with an explicit scale story:
+
+- **exact**: md5-of-normalized-text groupBy — ONE shuffle on the
+  fingerprint; Catalyst's partial aggregation pre-combines map-side
+  so a pathological all-identical corpus still can't flood a reducer
+  with raw rows.
+- **n-gram Jaccard**: shingle → inverted-index self-join → pair
+  agreement counts. The classic join-on-token plan; frequent shingles
+  are pruned by document frequency BEFORE the join (`max_df`) — at
+  web scale the df-pruning is what keeps the pair explosion bounded.
+- **MinHash + LSH**: per-row signatures computed entirely with
+  higher-order array functions (`transform`/`array_min`) — NO
+  explode, NO shuffle for the signature stage; the only shuffle is
+  the tiny groupBy on LSH band buckets. Banding: `num_perm`
+  permutations in `bands` bands of `rows_per_band`; docs sharing any
+  band bucket become candidate pairs, verified by signature
+  agreement (estimated Jaccard).
+- **SimHash**: 32-bit per-row fingerprint via bit-vote over token
+  hashes (again pure array exprs); near-dups = pairs sharing a
+  16-bit half (Hamming-style LSH) with small signature distance.
+- **embedding cosine**: see ``similarity.py`` (shared kernels).
+
+Every hash is the cross-engine 60-bit md5 hash from ``text.py`` so
+the DuckDB oracles reproduce signatures bit-for-bit.
+
+MinHash math: h_i(s) = (a_i * (H(s) mod 2^30) + b_i) mod P with
+P = 2^31 - 1 (prime), a_i,b_i < 2^30 derived from md5(i) — products
+stay < 2^61 so int64 arithmetic is exact (and identical) in both
+engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from anomaly_detection_toolkit_spark.operators.text import hash60, normalize
+
+MERSENNE31 = (1 << 31) - 1
+MASK30 = (1 << 30) - 1
+
+
+def _perm_params(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per permutation, derived from md5(i) —
+    reproducible in SQL but precomputed here as plain literals."""
+    params = []
+    for i in range(num_perm):
+        d = hashlib.md5(f"perm_{i}".encode()).hexdigest()
+        a = (int(d[:8], 16) & MASK30) | 1  # odd, nonzero
+        b = int(d[8:16], 16) & MASK30
+        params.append((a, b))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Tag every row with its duplicate group and keeper flag.
+
+    Output: (id, fingerprint, group_size, dup_rank, is_duplicate).
+    The keeper is the smallest id per fingerprint (deterministic).
+    One shuffle on fingerprint; the window reuses the same hash
+    partitioning Catalyst already produced for the groupBy-free plan
+    (window partitionBy = exchange key, no second shuffle).
+    """
+    fp = F.md5(normalize(F.col(text_col)))
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        df.select(F.col(id_col), fp.alias("fingerprint"))
+        .withColumn("dup_rank", F.row_number().over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(Window.partitionBy("fingerprint")))
+        .withColumn("is_duplicate", (F.col("dup_rank") > 1).cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text as
+    ARRAY<STRING>; [] when fewer than n tokens. Pure array exprs."""
+    toks = F.split(normalize(text), " ")
+    # guard: sequence(1, 0) would count DOWN in Spark — short texts
+    # must yield an empty shingle set instead
+    grams = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All (id_a < id_b) pairs with n-gram Jaccard ≥ threshold.
+
+    Plan: per-doc distinct shingles (no shuffle) → explode →
+    [optional df-prune] → self-equi-join on shingle → pair
+    intersection counts (ONE shuffle on the pair key) → broadcast
+    join of per-doc sizes. `max_df` drops shingles occurring in more
+    than that many docs — at 10^12 docs this prune is mandatory
+    (stop-shingles otherwise generate quadratic pairs); the resulting
+    Jaccard is then a lower bound, which is the standard trade.
+    """
+    sized = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    sizes = sized.select("id", "n_sh").filter(F.col("n_sh") > 0)
+    # join on the 60-bit hash of the gram, not the string: smaller
+    # shuffle payload + integer key compare (the hash projection runs
+    # AFTER explode, i.e. codegen'd, not in an interpreted lambda).
+    # Collision risk 2^-60 per pair — negligible vs the shuffle win.
+    exploded = sized.select(
+        "id", F.explode("sh").alias("g0")
+    ).select("id", hash60(F.col("g0")).alias("g"))
+    if max_df is not None:
+        dfreq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        exploded = exploded.join(dfreq.filter(F.col("df") <= max_df), "g", "inner").select(
+            "id", "g"
+        )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def hashed_shingles(text: Column, n: int = 3) -> Column:
+    """ARRAY<BIGINT> of 30-bit shingle hashes — the md5 of each
+    shingle is computed exactly ONCE here; every MinHash permutation
+    then runs cheap integer arithmetic over this array. (Spark does
+    not common-subexpression-eliminate across higher-order-function
+    lambdas, so inlining the hash into each permutation would
+    recompute every md5 ``num_perm`` times — measured 50×+ slower.)"""
+    return F.transform(shingles(text, n), lambda s: F.pmod(hash60(s), F.lit(1 << 30)))
+
+
+def minhash_from_hashes(hashed: Column, num_perm: int = 16) -> Column:
+    """ARRAY<BIGINT> MinHash signature from pre-hashed shingles.
+    Empty shingle set → signature of P (sentinel max)."""
+    sig = []
+    for a, b in _perm_params(num_perm):
+        sig.append(
+            F.coalesce(
+                F.array_min(
+                    F.transform(hashed, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE31)))
+                ),
+                F.lit(MERSENNE31),
+            )
+        )
+    return F.array(*sig)
+
+
+def minhash_signature(text: Column, num_perm: int = 16, n: int = 3) -> Column:
+    """Convenience composition; prefer materializing
+    ``hashed_shingles`` in its own projection first (see
+    ``minhash_lsh_pairs``) so the hash pass isn't duplicated."""
+    return minhash_from_hashes(hashed_shingles(text, n), num_perm)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH, scored by
+    signature agreement (unbiased Jaccard estimate).
+
+    Stages: (1) signatures — per-row projection; (2) band keys =
+    md5 of each band's slice — per-row; (3) explode bands (factor
+    `bands`, cheap) → groupBy band bucket → self-join within bucket
+    (the ONLY data-sized shuffle, on the band-hash key; hot buckets
+    = real near-dup clusters, which AQE skew-split handles);
+    (4) distinct pairs → estimated Jaccard from full signatures
+    carried on both sides.
+    """
+    rows_per_band = num_perm // bands
+    # two projections: (1) one md5 pass over shingles, (2) integer-only
+    # permutation mins — keeps the expensive hash from being inlined
+    # num_perm times into the signature expression tree
+    hashed = df.select(
+        F.col(id_col).alias("id"), hashed_shingles(F.col(text_col), n).alias("hs")
+    )
+    with_sig = hashed.select(
+        "id", minhash_from_hashes(F.col("hs"), num_perm).alias("sig")
+    )
+    band_arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.lit(str(bi)),
+                    *[
+                        F.col("sig")[bi * rows_per_band + r].cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = with_sig.withColumn("band_key", F.explode(band_arr))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        pairs.withColumn("est_jaccard", agree / F.lit(float(num_perm)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def token_hashes(text: Column) -> Column:
+    """ARRAY<BIGINT> of 60-bit hashes of the distinct tokens — one
+    md5 pass, shared by all SimHash bit-votes (same CSE rationale as
+    ``hashed_shingles``)."""
+    toks = F.array_distinct(F.split(normalize(text), " "))
+    return F.transform(toks, lambda t: hash60(t))
+
+
+def simhash_from_hashes(hashed: Column, bits: int = 32) -> Column:
+    """SimHash fingerprint as BIGINT from pre-hashed tokens: bit k is
+    set iff the sum over tokens of ±1 (sign of bit k of the token
+    hash) is ≥ 0. Pure integer array exprs per row — no shuffle."""
+    acc = F.lit(0).cast("bigint")
+    for k in range(bits):
+        vote = F.aggregate(
+            hashed,
+            F.lit(0),
+            lambda a, h: a
+            + F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+        acc = acc + F.when(vote >= 0, F.lit(1 << k).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return acc
+
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """Convenience composition; prefer materializing ``token_hashes``
+    in its own projection first (see ``simhash_pairs``)."""
+    return simhash_from_hashes(token_hashes(text), bits)
+
+
+def hamming64(x: Column, y: Column) -> Column:
+    """Hamming distance between two BIGINT fingerprints via
+    bit_count(xor) — single codegen'd expression."""
+    return F.bit_count(x.bitwiseXOR(y))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: LSH on the two 16-bit halves (any
+    pair within Hamming ≤ bits/2 shares at least one exact half),
+    verified by full Hamming distance. Shuffle only on half-keys."""
+    th = df.select(F.col(id_col).alias("id"), token_hashes(F.col(text_col)).alias("th"))
+    sh = th.select("id", simhash_from_hashes(F.col("th"), bits).alias("sh"))
+    half = bits // 2
+    mask = (1 << half) - 1
+    chunked = sh.withColumn(
+        "chunk",
+        F.explode(
+            F.array(
+                F.concat(F.lit("lo_"), sh.sh.bitwiseAND(F.lit(mask)).cast("string")),
+                F.concat(F.lit("hi_"), F.shiftright(sh.sh, half).bitwiseAND(F.lit(mask)).cast("string")),
+            )
+        ),
+    )
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,165 @@
+"""Tests for the training-data pipeline operators (text / dedup /
+similarity) on constructed fixtures with known duplicates — the
+inject-then-detect pattern of the reference tests
+(``/root/reference/tests/test_statistical.py:15-17``)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_toolkit_spark.operators import dedup, similarity, text
+
+DOCS = [
+    # (doc_id, text) — 0/1 identical, 2 near-dup of 0, 3/4 distinct
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "The quick brown fox jumps over the lazy dog near the river bank!"),
+    (2, "the quick brown fox jumps over the lazy dog near the river shore"),
+    (3, "completely different content about spark shuffle partitions and joins"),
+    (4, "der hund und die katze sind ein gutes team mit den besten"),
+    (5, "a b"),  # shorter than one trigram
+    (6, ""),  # empty text edge
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_flags_normalized_duplicates(docs_df):
+    out = dedup.exact_duplicates(docs_df).orderBy("doc_id").collect()
+    by_id = {r.doc_id: r for r in out}
+    # doc 1 differs only in case/punct → same normalized fingerprint
+    assert by_id[0].fingerprint == by_id[1].fingerprint
+    assert by_id[0].group_size == 2 and by_id[1].group_size == 2
+    assert by_id[0].is_duplicate == 0 and by_id[1].is_duplicate == 1  # keeper = min id
+    assert by_id[2].group_size == 1 and by_id[2].is_duplicate == 0
+
+
+def test_shingles_short_and_empty_texts(docs_df):
+    out = docs_df.select(
+        "doc_id", F.size(dedup.shingles(F.col("text"), 3)).alias("n")
+    ).collect()
+    n = {r.doc_id: r.n for r in out}
+    assert n[5] == 0 and n[6] == 0  # no crash, empty shingle sets
+    assert n[0] > 5
+
+
+def test_ngram_jaccard_finds_near_dup_pair(docs_df):
+    pairs = dedup.ngram_jaccard_pairs(docs_df, threshold=0.3).collect()
+    keys = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert keys[(0, 1)] == 1.0  # identical after normalization
+    assert (0, 2) in keys and 0.5 < keys[(0, 2)] < 1.0  # one word changed
+    assert all(3 not in p and 4 not in p for p in keys)
+
+
+def test_minhash_signature_properties(docs_df):
+    rows = docs_df.select(
+        "doc_id", dedup.minhash_signature(F.col("text"), 16, 3).alias("sig")
+    ).collect()
+    sig = {r.doc_id: r.sig for r in rows}
+    assert sig[0] == sig[1]  # identical shingle sets → identical signature
+    agree02 = sum(a == b for a, b in zip(sig[0], sig[2]))
+    agree03 = sum(a == b for a, b in zip(sig[0], sig[3]))
+    assert agree02 > agree03  # near-dup agrees more than unrelated
+    assert sig[6] == [dedup.MERSENNE31] * 16  # empty set → sentinel
+
+
+def test_minhash_lsh_pairs_detects_dups(docs_df):
+    pairs = dedup.minhash_lsh_pairs(docs_df, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in pairs}
+    assert got[(0, 1)] == 1.0
+    assert (0, 3) not in got
+
+
+def test_simhash_hamming(docs_df):
+    rows = docs_df.select(
+        "doc_id", dedup.simhash(F.col("text"), 32).alias("sh")
+    ).collect()
+    sh = {r.doc_id: r.sh for r in rows}
+    assert sh[0] == sh[1]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sh[0], sh[2]) <= ham(sh[0], sh[3])
+    assert 0 <= sh[0] < (1 << 32)
+
+
+def test_simhash_pairs(docs_df):
+    pairs = dedup.simhash_pairs(docs_df, max_hamming=3).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert got[(0, 1)] == 0
+
+
+def test_text_quality_features(docs_df):
+    out = text.quality_features(docs_df).orderBy("doc_id").collect()
+    r0, r5, r6 = out[0], out[5], out[6]
+    assert r0.n_tokens == 13
+    assert r6.n_tokens == 0 and r6.quality_score <= 0.4
+    assert 0.0 <= r0.quality_score <= 1.0
+    assert r0.stopword_ratio > 0  # 'the' appears
+    assert r5.n_tokens == 2
+    # punctuation in doc 1 but not doc 0
+    assert out[1].punct_ratio > 0 and r0.punct_ratio == 0.0
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame([(0, "Hello, world! It's 42.")], "id long, text string")
+    n = df.select(text.bpe_token_count(F.col("text")).alias("n")).first().n
+    # Hello , world ! It ' s 42 .  → 9
+    assert n == 9
+
+
+def test_lang_id_heuristic(docs_df):
+    out = text.add_lang_id(docs_df).collect()
+    pred = {r.doc_id: r.pred_lang for r in out}
+    assert pred[0] == "en"  # 'the', 'over' hits
+    assert pred[4] == "de"  # German stopwords
+    assert pred[6] == "und"  # empty → undetermined
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=64)
+    rows = []
+    for i in range(20):
+        v = rng.normal(size=64)
+        rows.append((i, [float(x) for x in v]))
+    # 100/101: near-duplicates of each other
+    dup = rng.normal(size=64)
+    rows.append((100, [float(x) for x in dup]))
+    rows.append((101, [float(x) for x in dup + rng.normal(scale=0.01, size=64)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(emb_df):
+    q = emb_df.filter(F.col("vec_id") == 100)
+    out = similarity.brute_force_topk(emb_df, q, k=3).collect()
+    assert len(out) == 3
+    assert out[0].neighbor_id == 101 and out[0].cosine_sim > 0.99
+    assert out[0].rank == 1
+    # ranks are 1..k and scores non-increasing
+    sims = [r.cosine_sim for r in sorted(out, key=lambda r: r.rank)]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_finds_near_dup_in_same_bucket(emb_df):
+    q = emb_df.filter(F.col("vec_id") == 100)
+    out = similarity.lsh_topk(emb_df, q, k=3, n_planes=4, dim=64).collect()
+    # near-identical vectors agree on every hyperplane sign
+    assert out and out[0].neighbor_id == 101
+
+
+def test_embedding_near_dup_pairs(emb_df):
+    out = similarity.embedding_near_dup_pairs(emb_df, min_cosine=0.95, dim=64).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(100, 101)]
+
+
+def test_srp_bucket_range(emb_df):
+    planes = similarity.plane_signs(4, 64)
+    buckets = emb_df.select(
+        similarity.srp_bucket(F.col("embedding"), planes).alias("b")
+    ).collect()
+    assert all(0 <= r.b < 16 for r in buckets)
