@@ -299,3 +299,4 @@ def pm_fft_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (import at module bottom so `register`/`r4` exist when they run)
 from anomaly_detection_toolkit_spark import entry_corpus  # noqa: E402,F401
 from anomaly_detection_toolkit_spark import entry_eval  # noqa: E402,F401
+from anomaly_detection_toolkit_spark import entry_pca  # noqa: E402,F401
