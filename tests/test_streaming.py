@@ -1,0 +1,108 @@
+"""Streaming sliding-buffer tests: the applyInPandasWithState
+operator must reproduce the reference's deque loop exactly
+(golden model = ``reference_replay``), including drop-oldest,
+emit-when-full, and buffering statuses
+(``predictive_maintenance.py:1153-1222``)."""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pytest
+
+from anomaly_detection_toolkit_spark.streaming.ingestion import (
+    reference_replay,
+    sliding_buffer_scores,
+)
+
+W = 5
+
+
+def _points():
+    """Two assets, interleaved, with a spike that must be flagged."""
+    pts = []
+    for i in range(20):
+        pts.append(("A", float(i), math.sin(i * 0.5)))
+        pts.append(("B", float(i), float(i % 3)))
+    pts.append(("A", 20.0, 50.0))  # blatant spike once buffer is warm
+    return pts
+
+
+def _run_stream(spark, tmp_path, points, files=1):
+    src = tmp_path / "in"
+    src.mkdir()
+    chunk = (len(points) + files - 1) // files
+    for fi in range(files):
+        with open(src / f"part{fi}.json", "w") as f:
+            for a, ts, v in points[fi * chunk : (fi + 1) * chunk]:
+                f.write(json.dumps({"asset_id": a, "ts": ts, "value": v}) + "\n")
+    stream = (
+        spark.readStream.schema("asset_id string, ts double, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = sliding_buffer_scores(stream, window_size=W, threshold=3.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sbuf")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql("SELECT * FROM sbuf ORDER BY asset_id, ts").collect()
+
+
+def test_stream_matches_reference_replay(spark, tmp_path):
+    pts = _points()
+    got = _run_stream(spark, tmp_path, pts)
+    want = reference_replay(
+        sorted(pts, key=lambda p: (p[0], p[1])), window_size=W, threshold=3.0
+    )
+    want.sort(key=lambda r: (r["asset_id"], r["ts"]))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert (g.asset_id, g.ts, g.status, g.buffer_size) == (
+            w["asset_id"],
+            w["ts"],
+            w["status"],
+            w["buffer_size"],
+        )
+        if w["status"] == "processed":
+            assert g.win_mean == pytest.approx(w["win_mean"])
+            assert g.win_std == pytest.approx(w["win_std"])
+            assert g.score == pytest.approx(w["score"])
+            assert g.verdict == w["verdict"]
+        else:
+            assert g.score is None and g.verdict is None
+
+
+def test_state_survives_across_microbatches(spark, tmp_path):
+    """Split the input into 4 files / micro-batches: the per-asset
+    buffer must carry over through the state store (the property the
+    reference's in-process dict lacks)."""
+    pts = _points()
+    got = _run_stream(spark, tmp_path, pts, files=4)
+    want = reference_replay(
+        sorted(pts, key=lambda p: (p[0], p[1])), window_size=W, threshold=3.0
+    )
+    # same rows as the single-batch run: state carried across batches
+    assert len(got) == len(want)
+    by_key = {(r["asset_id"], r["ts"]): r for r in want}
+    spike = [r for r in got if r.asset_id == "A" and r.ts == 20.0]
+    w = by_key[("A", 20.0)]
+    # the window includes the spike itself (reference scores the
+    # latest row against its own window), so z is damped — exact
+    # parity with the replay is the assertion, not a flag
+    assert spike and spike[0].status == "processed"
+    assert spike[0].score == pytest.approx(w["score"])
+    assert spike[0].verdict == w["verdict"]
+
+
+def test_buffering_until_full(spark, tmp_path):
+    pts = [("C", float(i), 1.0) for i in range(W - 1)]
+    got = _run_stream(spark, tmp_path, pts)
+    assert all(r.status == "buffering" for r in got)
+    assert [r.buffer_size for r in got] == list(range(1, W))
