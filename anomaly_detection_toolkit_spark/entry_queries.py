@@ -300,3 +300,4 @@ def pm_fft_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 from anomaly_detection_toolkit_spark import entry_corpus  # noqa: E402,F401
 from anomaly_detection_toolkit_spark import entry_eval  # noqa: E402,F401
 from anomaly_detection_toolkit_spark import entry_pca  # noqa: E402,F401
+from anomaly_detection_toolkit_spark import entry_wavelet  # noqa: E402,F401

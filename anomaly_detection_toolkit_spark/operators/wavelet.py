@@ -1,0 +1,259 @@
+"""Wavelet denoiser + detector over per-series groups.
+
+Re-expression of ``/root/reference/src/anomaly_detection_toolkit/
+wavelet.py`` WITHOUT PyWavelets (absent from the target env, SURVEY
+§7.0): the DWT is implemented here in pure numpy as an orthonormal
+filter bank (db4 / haar) with **periodized** boundary handling —
+perfect reconstruction is exact (tested to 1e-10) and detail lengths
+are exactly ``ceil(n/2^level)``. The reference uses pywt's symmetric
+extension, so coefficient values differ at series boundaries; the
+*operator semantics* are preserved verbatim:
+
+- denoise: universal threshold σ·√(2·ln n) with σ = MAD of the
+  finest detail / 0.6745, soft/hard thresholding of detail levels
+  only (``wavelet.py:47-57``);
+- detect: per detail level, robust fence median+factor·MAD/0.6745
+  over |coeffs| (``wavelet.py:168-172``), flagged coefficients map
+  back to time spans of length ``n // len(detail)`` and their |coeff|
+  values are SUMMED into the per-sample score (``wavelet.py:180-192``);
+- predict: threshold = 95th percentile of the positive scores
+  (``wavelet.py:126-129``), verdict -1 iff score > threshold.
+
+Spark integration: one series = one group; ``applyInPandas``
+(grouped-map Arrow UDF) runs the numpy kernel per group — whole-series
+transforms can't be windowed, so the group is the parallelism unit
+(10^6 series × 10^4 points parallelizes perfectly; one 10^12-point
+series does not, and is documented as out of scope, matching the
+reference's univariate in-memory constraint at ``wavelet.py:102-111``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# public Daubechies filter coefficients (Daubechies 1988; same tables
+# pywt ships): decomposition low-pass, lowest-index-first
+DEC_LO = {
+    "haar": np.array([0.7071067811865476, 0.7071067811865476]),
+    "db4": np.array(
+        [
+            -0.010597401784997278,
+            0.032883011666982945,
+            0.030841381835986965,
+            -0.18703481171888114,
+            -0.02798376941698385,
+            0.6308807679295904,
+            0.7148465705525415,
+            0.23037781330885523,
+        ]
+    ),
+}
+
+
+def _filters(wavelet: str) -> tuple[np.ndarray, np.ndarray]:
+    if wavelet not in DEC_LO:
+        raise ValueError(f"unsupported wavelet {wavelet!r}; available: {sorted(DEC_LO)}")
+    lo = DEC_LO[wavelet]
+    # quadrature mirror: hi[j] = (-1)^j · lo[L-1-j]
+    hi = ((-1.0) ** np.arange(len(lo))) * lo[::-1]
+    return lo, hi
+
+
+def _dwt_step(x: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One periodized analysis step: a[k] = Σ_j lo[j]·x[(2k+j) mod n]."""
+    n = len(x)
+    if n % 2:  # periodize odd lengths by wrapping one sample
+        x = np.concatenate([x, x[:1]])
+        n += 1
+    k = np.arange(n // 2)[:, None]
+    j = np.arange(len(lo))[None, :]
+    idx = (2 * k + j) % n
+    xs = x[idx]
+    return xs @ lo, xs @ hi
+
+
+def _idwt_step(a: np.ndarray, d: np.ndarray, lo: np.ndarray, hi: np.ndarray, n_out: int) -> np.ndarray:
+    """Inverse periodized step via scatter-add (exact PR for
+    orthonormal filters)."""
+    n = 2 * len(a)
+    out = np.zeros(n)
+    for j in range(len(lo)):
+        idx = (2 * np.arange(len(a)) + j) % n
+        np.add.at(out, idx, a * lo[j] + d * hi[j])
+    return out[:n_out]
+
+
+def wavedec(
+    x: np.ndarray, wavelet: str = "db4", level: int = 5
+) -> tuple[list[np.ndarray], list[int]]:
+    """([approx, detail_level, ..., detail_1], input lengths per
+    step) — coefficient ordering like pywt.wavedec (coarsest detail
+    first, finest last); the lengths drive exact inverse trimming."""
+    lo, hi = _filters(wavelet)
+    x = np.asarray(x, dtype=np.float64)
+    details: list[np.ndarray] = []
+    a = x
+    lengths = []
+    for _ in range(level):
+        if len(a) < 2:
+            break
+        lengths.append(len(a))
+        a, d = _dwt_step(a, lo, hi)
+        details.append(d)
+    return [a] + details[::-1], lengths
+
+
+def waverec(coeffs_and_lengths, wavelet: str = "db4") -> np.ndarray:
+    coeffs, lengths = coeffs_and_lengths
+    lo, hi = _filters(wavelet)
+    a = coeffs[0]
+    details = coeffs[1:]
+    for d, n_out in zip(details, lengths[::-1]):
+        a = _idwt_step(a, d, lo, hi, n_out)
+    return a
+
+
+def soft_hard_threshold(c: np.ndarray, t: float, mode: str) -> np.ndarray:
+    if mode == "soft":
+        return np.sign(c) * np.maximum(np.abs(c) - t, 0.0)
+    if mode == "hard":
+        return np.where(np.abs(c) > t, c, 0.0)
+    raise ValueError(f"threshold mode must be soft/hard, got {mode!r}")
+
+
+def denoise_series(
+    x: np.ndarray, wavelet: str = "db4", level: int = 5, mode: str = "soft"
+) -> np.ndarray:
+    """Universal-threshold wavelet denoising (``wavelet.py:31-58``)."""
+    coeffs, lengths = wavedec(x, wavelet, level)
+    finest = coeffs[-1]
+    sigma = np.median(np.abs(finest)) / 0.6745 if len(finest) else 0.0
+    t = sigma * np.sqrt(2.0 * np.log(max(len(x), 2)))
+    thresh = [coeffs[0]] + [soft_hard_threshold(c, t, mode) for c in coeffs[1:]]
+    return waverec((thresh, lengths), wavelet)[: len(x)]
+
+
+def score_series(
+    x: np.ndarray, wavelet: str = "db4", level: int = 5, threshold_factor: float = 3.0
+) -> np.ndarray:
+    """Per-sample anomaly scores (``wavelet.py:133-195``)."""
+    coeffs, _ = wavedec(x, wavelet, level)
+    scores = np.zeros(len(x))
+    for detail in coeffs[1:]:
+        if len(detail) == 0:
+            continue
+        da = np.abs(detail)
+        med = np.median(da)
+        mad = np.median(np.abs(da - med))
+        fence = med + threshold_factor * (mad / 0.6745)
+        mask = da > fence
+        if not mask.any():
+            continue
+        scale = max(len(x) // len(detail), 1)
+        for i in np.where(mask)[0]:
+            lo_i = i * scale
+            hi_i = min((i + 1) * scale, len(x))
+            scores[lo_i:hi_i] += da[i]
+    return scores
+
+
+def predict_series(scores: np.ndarray) -> tuple[np.ndarray, float]:
+    """Verdicts from scores: threshold = p95 of positive scores
+    (``wavelet.py:126-129``)."""
+    pos = scores[scores > 0]
+    thr = float(np.percentile(pos, 95)) if len(pos) else 0.0
+    return np.where(scores > thr, -1, 1).astype(np.int32), thr
+
+
+def cwt_morlet(x: np.ndarray, scales: Sequence[int] | None = None) -> np.ndarray:
+    """Continuous wavelet transform with the real Morlet wavelet
+    ψ(t) = exp(-t²/2)·cos(5t) (``wavelet.py:223-258``); returns
+    (n_scales × n) coefficients."""
+    x = np.asarray(x, dtype=np.float64)
+    if scales is None:
+        scales = np.arange(1, 65)
+    out = np.empty((len(scales), len(x)))
+    n = len(x)
+    for si, s in enumerate(scales):
+        t = np.arange(-4 * s, 4 * s + 1) / s
+        psi = np.exp(-0.5 * t**2) * np.cos(5.0 * t)
+        psi /= np.sqrt(s)
+        full = np.convolve(x, psi[::-1], mode="full")
+        start = (len(full) - n) // 2  # center-crop to n even when the
+        out[si] = full[start : start + n]  # kernel is longer than x
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark grouped-map operators
+# ---------------------------------------------------------------------------
+
+
+def denoise(
+    df: DataFrame,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    wavelet: str = "db4",
+    level: int = 5,
+    mode: str = "soft",
+) -> DataFrame:
+    """Per-series denoising via grouped-map applyInPandas.
+
+    Output: (series_col, order_col, value, denoised)."""
+    schema = f"{series_col} string, {order_col} double, value double, denoised double"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        den = denoise_series(x, wavelet, level, mode)
+        return pd.DataFrame(
+            {
+                series_col: pdf[series_col].astype(str),
+                order_col: pdf[order_col].astype(float),
+                "value": x,
+                "denoised": den,
+            }
+        )
+
+    return df.groupBy(series_col).applyInPandas(kernel, schema=schema)
+
+
+def detect(
+    df: DataFrame,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    wavelet: str = "db4",
+    level: int = 5,
+    threshold_factor: float = 3.0,
+) -> DataFrame:
+    """Per-series wavelet anomaly detection via applyInPandas.
+
+    Output: (series_col, order_col, value, score, verdict)."""
+    schema = (
+        f"{series_col} string, {order_col} double, value double, "
+        "score double, verdict int"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        scores = score_series(x, wavelet, level, threshold_factor)
+        verdicts, _ = predict_series(scores)
+        return pd.DataFrame(
+            {
+                series_col: pdf[series_col].astype(str),
+                order_col: pdf[order_col].astype(float),
+                "value": x,
+                "score": scores,
+                "verdict": verdicts,
+            }
+        )
+
+    return df.groupBy(series_col).applyInPandas(kernel, schema=schema)
