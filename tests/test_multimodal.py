@@ -1,0 +1,110 @@
+"""Multimodal operator tests: real image codecs, deterministic fake
+audio/video codecs, stubbed real-container formats, and the
+column-pruning contract (binary column only enters decode stages)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_toolkit_spark.functions import codecs
+from anomaly_detection_toolkit_spark.operators import multimodal as mm
+
+
+def _img(i, w=16, h=12):
+    rng = np.random.default_rng(i)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@pytest.fixture(scope="module")
+def image_df(spark):
+    rows = []
+    for i in range(8):
+        img = _img(i)
+        fmt = ["raw", "ppm", "bmp", "lossyq"][i % 4]
+        rows.append((f"img{i}", codecs.encode(img, fmt), fmt))
+    rows.append(("bad", b"garbage", "ppm"))
+    return spark.createDataFrame(rows, "id string, bytes binary, fmt string")
+
+
+def test_image_features(image_df):
+    out = {r.id: r for r in mm.image_features(image_df, "id", "bytes", "fmt").collect()}
+    assert len(out) == 9
+    ok = [r for r in out.values() if r.ok]
+    assert len(ok) == 8
+    r0, img0 = out["img0"], _img(0)
+    assert (r0.w, r0.h) == (16, 12)
+    assert r0.mean_r == pytest.approx(float(img0[..., 0].mean()))
+    assert not out["bad"].ok and out["bad"].err
+
+
+def test_image_resize_roundtrip(image_df):
+    out = {
+        r.id: r
+        for r in mm.image_resize(image_df, "id", "bytes", "fmt", 8, 6).collect()
+    }
+    good = out["img1"]  # ppm (lossless)
+    assert good.ok and (good.w, good.h) == (8, 6)
+    thumb = codecs.decode(good.bytes, "ppm")
+    want = mm._resize_box(_img(1), 8, 6)
+    np.testing.assert_array_equal(thumb, want)
+    assert not out["bad"].ok
+
+
+def test_audio_features_fake_codec(spark):
+    t = np.linspace(0, 1, 16000, endpoint=False)
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+    rows = [
+        ("a1", mm.encode_fake_pcm16(tone), "fake_pcm16"),
+        ("a2", mm.encode_fake_pcm16(np.zeros(100)), "fake_pcm16"),
+        ("a3", b"FPCMxxxx", "fake_pcm16"),  # truncated
+        ("a4", b"whatever", "wav"),  # stubbed real format
+    ]
+    df = spark.createDataFrame(rows, "id string, bytes binary, fmt string")
+    out = {r.id: r for r in mm.audio_features(df, "id", "bytes", "fmt").collect()}
+    a1 = out["a1"]
+    assert a1.ok and a1.rate == 16000 and a1.duration_s == pytest.approx(1.0)
+    assert a1.rms == pytest.approx(0.5 / np.sqrt(2), rel=1e-3)
+    assert a1.zcr == pytest.approx(2 * 440 / 16000, rel=0.01)
+    assert out["a2"].ok and out["a2"].rms == 0.0
+    assert not out["a3"].ok
+    # the wav stub must surface as a failed row, not a job abort
+    assert not out["a4"].ok and "external library" in out["a4"].err
+
+
+def test_video_frame_sampling(spark):
+    frames = [_img(i, 8, 8) for i in range(6)]
+    rows = [
+        ("v1", mm.encode_fake_mjpeg(frames), "fake_mjpeg"),
+        ("v2", b"nope", "mp4"),  # stubbed real container
+    ]
+    df = spark.createDataFrame(rows, "id string, bytes binary, fmt string")
+    out = mm.video_frame_sample(df, "id", "bytes", "fmt", every=2).collect()
+    v1 = sorted((r for r in out if r.id == "v1"), key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in v1] == [0, 2, 4]
+    assert all(r.n_frames == 6 and r.ok for r in v1)
+    np.testing.assert_array_equal(codecs.decode(v1[1].frame_bytes, "ppm"), frames[2])
+    v2 = [r for r in out if r.id == "v2"]
+    assert len(v2) == 1 and not v2[0].ok
+
+
+def test_binary_column_pruned_from_non_decode_plan(image_df):
+    """A metadata-only projection over the payload table must not
+    read the binary column (column pruning / ReadSchema contract)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        image_df.write.mode("overwrite").parquet(d)
+        spark = image_df.sparkSession
+        meta = spark.read.parquet(d).select("id", "fmt")
+        plan = meta._jdf.queryExecution().executedPlan().toString()
+        assert "bytes" not in plan  # pruned at the scan
+
+
+def test_resize_box_exact_average():
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    small = mm._resize_box(img, 2, 2)
+    assert small.shape == (2, 2, 3)
+    want = img.reshape(2, 2, 2, 2, 3).mean(axis=(1, 3)).round().astype(np.uint8)
+    np.testing.assert_array_equal(small, want)
