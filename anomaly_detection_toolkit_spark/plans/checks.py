@@ -152,7 +152,9 @@ class ColumnStatsCheck(Check):
         return df.groupBy(F.col(self.part_col).alias("part")).agg(*aggs)
 
     def run(self, df: DataFrame) -> CheckOutput:
-        stats = self._stats(df)
+        # tiny (n_parts rows); persisted so the metric/violation
+        # projections below don't each re-run the input scan
+        stats = self._stats(df).persist()
         viols: list[DataFrame] = []
         metrics: list[DataFrame] = []
         for c, bounds in self.constraints.items():
@@ -483,37 +485,51 @@ class DriftCheck(Check):
             "phash": F.pmod(F.col("phash"), F.lit(64)).cast("double"),
         }
 
-    def _drift_for(self, df: DataFrame, colname: str, bucket: Column) -> DataFrame:
+    def _drift_table(self, df: DataFrame, cols: dict[str, Column]) -> DataFrame:
+        """(column, part, ks, psi) for ALL watched columns in ONE scan.
+
+        The watched columns are unpivoted row-wise (an array+explode
+        generator — fan-out × n_cols of narrow (name, part, bucket)
+        tuples, no binary columns) so a single ``groupBy(column, part,
+        bucket)`` shuffle feeds every column's histogram. Everything
+        after the groupBy runs on the tiny (cols × parts × buckets)
+        grid: broadcast joins + windows partitioned by (column, part).
+        """
         eps = 1e-6
+        pairs = F.array(
+            *[
+                F.struct(F.lit(name).alias("column"), expr.alias("bucket"))
+                for name, expr in cols.items()
+            ]
+        )
         counts = (
-            df.select(F.col(self.part_col).alias("part"), bucket.alias("bucket"))
+            df.select(F.col(self.part_col).alias("part"), F.explode(pairs).alias("cb"))
+            .select("part", F.col("cb.column").alias("column"), F.col("cb.bucket").alias("bucket"))
             .filter(F.col("bucket").isNotNull())
-            .groupBy("part", "bucket")
+            .groupBy("column", "part", "bucket")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        # everything below runs on tiny dimension tables (≤ parts×buckets
-        # rows) — broadcast joins only, windows partitioned by part.
-        parts = counts.select("part").distinct()
-        buckets = counts.select("bucket").distinct()
-        totals_p = counts.groupBy("part").agg(F.sum("c").alias("tot_p"))
-        totals_g = counts.agg(F.sum("c").alias("tot_g"))
-        gcounts = counts.groupBy("bucket").agg(F.sum("c").alias("gc"))
+        parts = counts.select("column", "part").distinct()
+        buckets = counts.select("column", "bucket").distinct()
+        totals_p = counts.groupBy("column", "part").agg(F.sum("c").alias("tot_p"))
+        totals_g = counts.groupBy("column").agg(F.sum("c").alias("tot_g"))
+        gcounts = counts.groupBy("column", "bucket").agg(F.sum("c").alias("gc"))
         grid = (
-            parts.crossJoin(F.broadcast(buckets))
-            .join(counts, ["part", "bucket"], "left")
+            parts.join(F.broadcast(buckets), "column")
+            .join(counts, ["column", "part", "bucket"], "left")
             .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
-            .join(F.broadcast(totals_p), "part")
-            .join(F.broadcast(gcounts), "bucket")
-            .crossJoin(F.broadcast(totals_g))
+            .join(F.broadcast(totals_p), ["column", "part"])
+            .join(F.broadcast(gcounts), ["column", "bucket"])
+            .join(F.broadcast(totals_g), "column")
         )
-        ordered = Window.partitionBy("part").orderBy("bucket")
+        ordered = Window.partitionBy("column", "part").orderBy("bucket")
         enriched = (
             grid.withColumn("p", F.col("c") / F.col("tot_p"))
             .withColumn("q", F.col("gc") / F.col("tot_g"))
             .withColumn("cdf_p", F.sum("p").over(ordered))
             .withColumn("cdf_q", F.sum("q").over(ordered))
         )
-        return enriched.groupBy("part").agg(
+        return enriched.groupBy("column", "part").agg(
             F.max(F.abs(F.col("cdf_p") - F.col("cdf_q"))).alias("ks"),
             F.sum(
                 (F.col("p") - F.col("q"))
@@ -522,14 +538,13 @@ class DriftCheck(Check):
                     / (F.greatest(F.col("q"), F.lit(eps)))
                 )
             ).alias("psi"),
-        ).withColumn("column", F.lit(colname))
+        )
 
     def run(self, df: DataFrame) -> CheckOutput:
         cols = self.columns or self.default_columns()
-        per_col = [self._drift_for(df, name, expr) for name, expr in cols.items()]
-        drift = per_col[0]
-        for d in per_col[1:]:
-            drift = drift.unionByName(d)
+        # persist the tiny (cols × parts) drift table so violations and
+        # metrics don't re-run the input scan
+        drift = self._drift_table(df, cols).persist()
         breach = F.col("ks") > self.ks_threshold
         thr_desc = f"ks<={self.ks_threshold}"
         if self.psi_threshold is not None:

@@ -74,7 +74,10 @@ def run_suite(
     # grid aggregation and the violations sink — without this every
     # consumer would re-run all checks against the full input
     violations = _union_all(v_list, empty_violations(spark)).persist()
-    metrics = _union_all(m_list, empty_metrics(spark))
+    # metrics are small aggregated rows, but their lineage re-runs the
+    # per-check aggregations — persist so the metrics sink write and
+    # any later consumer compute them once
+    metrics = _union_all(m_list, empty_metrics(spark)).persist()
 
     # verdict grid: every (part, check) cell, failed iff >=1 error
     counts = violations.groupBy("part", "check").agg(

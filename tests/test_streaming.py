@@ -30,13 +30,21 @@ def _points():
 
 
 def _run_stream(spark, tmp_path, points, files=1):
+    import os
+    import time as _time
+
     src = tmp_path / "in"
     src.mkdir()
     chunk = (len(points) + files - 1) // files
+    base = _time.time() - 3600
     for fi in range(files):
-        with open(src / f"part{fi}.json", "w") as f:
+        p = src / f"part{fi}.json"
+        with open(p, "w") as f:
             for a, ts, v in points[fi * chunk : (fi + 1) * chunk]:
                 f.write(json.dumps({"asset_id": a, "ts": ts, "value": v}) + "\n")
+        # distinct mtimes pin the micro-batch order (file source
+        # processes oldest-first; equal mtimes would be ambiguous)
+        os.utime(p, (base + fi * 60, base + fi * 60))
     stream = (
         spark.readStream.schema("asset_id string, ts double, value double")
         .option("maxFilesPerTrigger", 1)
