@@ -380,48 +380,44 @@ class PayloadCheck(Check):
         cols = df.select("image_id", "bytes", "fmt", "caption", F.col(self.part_col).alias("part"))
 
         def check_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            lossless_fmts = codecs.LOSSLESS
             for pdf in batches:
-                out: list[dict] = []
+                # violation rows are appended as plain tuples — no
+                # per-row closures/dicts (the hot loop runs per image)
+                rows: list[tuple] = []
+
+                def viol(image_id, part, column, value, threshold, message):
+                    rows.append(
+                        (name, "error", column, image_id, part,
+                         None if value is None else str(value), str(threshold), message)
+                    )
+
                 for image_id, buf, fmt, caption, part in zip(
-                    pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["caption"], pdf["part"]
+                    pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["caption"],
+                    pdf["part"].astype(int),
                 ):
-                    part = int(part)
-
-                    def viol(column, value, threshold, message, level="error"):
-                        out.append(
-                            dict(
-                                check=name,
-                                level=level,
-                                column=column,
-                                entity_id=image_id,
-                                part=part,
-                                value=None if value is None else str(value),
-                                threshold=str(threshold),
-                                message=message,
-                            )
-                        )
-
                     try:
                         dec = codecs.decode(buf, fmt)
                     except codecs.CodecError as e:
-                        viol("bytes", None, "decodable", f"decode failed: {e}")
+                        viol(image_id, part, "bytes", None, "decodable",
+                             f"decode failed: {e}")
                         dec = None
                     if dec is not None:
                         h, w = dec.shape[:2]
                         ref = ref_fn(image_id, w, h)
                         p = codecs.psnr(ref, dec)
-                        lossless = fmt in codecs.LOSSLESS
+                        lossless = fmt in lossless_fmts
                         if (lossless and not np.array_equal(ref, dec)) or p < psnr_db:
                             viol(
-                                "bytes",
-                                round(p, 2),
+                                image_id, part, "bytes", round(p, 2),
                                 ("exact" if lossless else f">={psnr_db}dB"),
                                 "decoded pixels diverge from reference",
                             )
                     expected = cap_fn(image_id)
                     if caption != expected:
-                        viol("caption", caption, expected, "caption mismatch")
-                yield pd.DataFrame(out, columns=V_COLS) if out else pd.DataFrame(
+                        viol(image_id, part, "caption", caption, expected,
+                             "caption mismatch")
+                yield pd.DataFrame(rows, columns=V_COLS) if rows else pd.DataFrame(
                     {c: pd.Series(dtype=object) for c in V_COLS}
                 )
 

@@ -17,6 +17,7 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
@@ -24,14 +25,18 @@ def get_spark(
     shuffle_partitions: defaults to max(cpus, 32) locally. On a real
     cluster this should be ~2-3x total executor cores; AQE coalesces
     small post-shuffle partitions either way.
+    master: ``None`` → ``local[cpus]``; ``"inherit"`` → leave unset so
+    ``spark-submit --master ...`` (cluster mode) controls it.
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 32)
+    builder = SparkSession.builder
+    if master != "inherit":
+        builder = builder.master(master or f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -42,6 +47,22 @@ def get_spark(
         # batches bounded so the Python decode workers stay small.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("ADT_SPARK_DRIVER_MEM", "24g"))
+        # Split scans finer than the 128MB default: payload rows are
+        # ~35KB so a 128MB split holds ~4k images ≈ seconds of Python
+        # decode — with GB-scale local tables that caps scan
+        # parallelism below the core count. 16MB keeps ≥2 tasks/core
+        # at bench sizes; on a real cluster file counts make this moot
+        # but finer splits only add negligible scheduling overhead.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        # This host's JDK17 AVX-512 arraycopy stubs are unstable under
+        # heavy BINARY-column Arrow traffic (observed SIGSEGV in
+        # jlong_disjoint_arraycopy_avx3 + progressive slowdown);
+        # capping at AVX2 is the documented JVM workaround.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("ADT_SPARK_JVM_OPTS", "-XX:UseAVX=2"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )

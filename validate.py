@@ -1,0 +1,62 @@
+"""spark-submit entry point for the validation engine.
+
+    spark-submit --py-files dist/engine.zip validate.py \
+        --input /path/to/images_table --output /path/to/results
+
+Runs the resumable validation job (SURVEY §3.4): plan the remaining
+partitions from the ledger, run the default check suite, append
+verdicts/violations/metrics parquet, record the ledger entry. A
+re-run over an unchanged snapshot is a no-op; a changed snapshot
+(new/modified input files) re-validates everything.
+
+Under spark-submit the cluster master is inherited; run directly
+(``python validate.py``) it falls back to local[all-cores].
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+# allow running both from the repo and as a --py-files zip deployment
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from anomaly_detection_toolkit_spark.plans.runner import run_validation_job  # noqa: E402
+from anomaly_detection_toolkit_spark.session import get_spark  # noqa: E402
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="image+caption parquet table")
+    ap.add_argument("--output", required=True, help="output dir (verdicts/violations/metrics + ledger)")
+    ap.add_argument("--part-col", default="part")
+    ap.add_argument(
+        "--master",
+        default="inherit",
+        help="'inherit' under spark-submit (default), or e.g. local[8]",
+    )
+    args = ap.parse_args(argv)
+
+    spark = get_spark("adt-validate", master=args.master)
+    t0 = time.perf_counter()
+    result = run_validation_job(spark, args.input, args.output, part_col=args.part_col)
+    dt = time.perf_counter() - t0
+    if result is None:
+        print(f"nothing to do: snapshot already fully validated ({dt:.1f}s)")
+        return 0
+    verdicts = result.verdicts.collect()
+    n_fail = sum(1 for r in verdicts if r["verdict"] == -1)
+    print(
+        f"validated parts={result.parts_checked} cells={len(verdicts)} "
+        f"failed_cells={n_fail} wall={dt:.1f}s outputs={args.output}"
+    )
+    for r in verdicts:
+        if r["verdict"] == -1:
+            print(f"  FAIL part={r['part']} check={r['check']} errors={r['n_errors']}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
