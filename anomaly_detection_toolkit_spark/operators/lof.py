@@ -1,0 +1,105 @@
+"""Approximate Local Outlier Factor over embedding columns.
+
+The reference wraps ``sklearn.LocalOutlierFactor``
+(``/root/reference/src/anomaly_detection_toolkit/ml_methods.py:
+113-215``). Exact kNN is quadratic — a non-starter at 10^12 rows
+(SURVEY §2 op-23 marks it out of MVP scope and points at LSH) — so
+this is the honest scale path: **LOF restricted to SRP-LSH bucket
+neighborhoods** (the same signed-random-projection machinery as
+``similarity.py``), the standard approximate-kNN trade: recall < 1
+for neighbors that fall across bucket boundaries, exact LOF math
+(Breunig et al. 2000, public algorithm) within the candidate sets:
+
+1. bucket every vector (per-row projection, no shuffle);
+2. within-bucket pair distances (self-equi-join on bucket — the only
+   data-sized shuffle; bucket sizes are corpus/2^n_planes);
+3. k nearest per point (window rank), k-distance = the k-th distance;
+4. reachability distance reach(p,o) = max(kdist(o), d(p,o));
+5. local reachability density lrd(p) = 1/mean reach(p,·);
+6. LOF(p) = mean lrd(o)/lrd(p) over p's neighbors.
+
+Everything is joins + windows on (id, neighbor) pair tables —
+whole-stage codegen, no Python. Scores ≈ 1 for inliers, ≫ 1 for
+outliers; verdict = -1 iff LOF > threshold (sklearn's negated-offset
+encoding is not reproduced; divergence documented).
+
+Known semantic quirk of the reference preserved in spirit only: its
+``score_samples`` REFITS on the scoring data (``ml_methods.py:
+208-215``), so scores and predictions come from different models.
+Here one fit produces both — the saner contract, noted for parity
+readers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from anomaly_detection_toolkit_spark.operators.similarity import plane_signs, srp_bucket
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def approx_lof(
+    df: DataFrame,
+    k: int = 10,
+    threshold: float = 1.5,
+    n_planes: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, lof, verdict) for every vector with ≥1 bucket neighbor;
+    isolated vectors (alone in their bucket) get lof NULL and verdict
+    -1 — no neighborhood evidence means "suspicious" at validation
+    time, and the NULL channel keeps them distinguishable."""
+    planes = plane_signs(n_planes, dim)
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("id"),
+        F.col("b.id").alias("nid"),
+        F.sqrt(_sq_dist(F.col("a.vec"), F.col("b.vec"))).alias("d"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("d").asc(), F.col("nid"))
+    knn = pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    kdist = knn.groupBy("id").agg(F.max("d").alias("kdist"))
+    # reach(p,o) = max(kdist(o), d(p,o)); lrd(p) = 1/mean reach
+    reach = knn.join(
+        kdist.select(F.col("id").alias("nid"), F.col("kdist").alias("kdist_o")), "nid"
+    ).withColumn("reach", F.greatest(F.col("kdist_o"), F.col("d")))
+    # exact-duplicate neighborhoods have zero mean reach distance
+    # (infinite density); the epsilon floor keeps lrd finite and the
+    # resulting LOF ≈ ratio-of-densities semantics intact
+    lrd = reach.groupBy("id").agg(
+        (F.lit(1.0) / F.greatest(F.avg("reach"), F.lit(1e-12))).alias("lrd")
+    )
+    lof = (
+        knn.join(lrd.select(F.col("id").alias("nid"), F.col("lrd").alias("lrd_o")), "nid")
+        .groupBy("id")
+        .agg(F.avg("lrd_o").alias("mean_lrd_o"))
+        .join(lrd, "id")
+        .withColumn("lof", F.col("mean_lrd_o") / F.col("lrd"))
+        .select("id", "lof")
+    )
+    out = v.select("id").join(lof, "id", "left")
+    return out.select(
+        "id",
+        "lof",
+        F.when(F.col("lof").isNull() | (F.col("lof") > threshold), F.lit(-1))
+        .otherwise(F.lit(1))
+        .cast("int")
+        .alias("verdict"),
+    )

@@ -269,3 +269,86 @@ def fft_features(
         per_series, schema=schema
     )
     return df.join(F.broadcast(consts), series_col, "left")
+
+
+def prepare_pm_features(
+    df: DataFrame,
+    asset_id_col: str = "asset_id",
+    cycle_col: str = "cycle",
+    feature_cols: Sequence[str] | None = None,
+    calculate_rul_flag: bool = True,
+    add_labels: bool = True,
+    add_rolling_stats: bool = True,
+    add_degradation: bool = False,
+    rolling_window: int = 5,
+    warning_threshold: int = 30,
+    critical_threshold: int = 15,
+    failure_cycle_col: str | None = None,
+    order_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """op-47 (``predictive_maintenance.py:986-1087``): the composed
+    feature pipeline — RUL, health labels, rolling stats, degradation
+    rates — with the reference's column auto-detection (numeric
+    columns minus the id/label exclusion list at ``:1045-1054``).
+
+    All stages share the SAME (asset, cycle) window partitioning, so
+    Catalyst plans a single sort+shuffle reused by every rolling and
+    lag expression — the whole pipeline is one exchange.
+
+    ``order_cols`` (default ``[cycle_col]``) must be a DETERMINISTIC
+    total order within each asset; pass extra tie-break columns when
+    the cycle key has duplicates (SURVEY §7.3 row-order trap).
+    """
+    order_cols = list(order_cols or [cycle_col])
+    if feature_cols is None:
+        exclude = {
+            asset_id_col,
+            cycle_col,
+            "RUL",
+            "health_status",
+            "binary_label",
+            "multi_class_label",
+            "max_cycle",
+        }
+        numeric = (
+            "double",
+            "float",
+            "int",
+            "bigint",
+            "smallint",
+            "tinyint",
+        )
+        feature_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.name not in exclude and f.dataType.simpleString() in numeric
+        ]
+    out = df
+    if calculate_rul_flag:
+        out = calculate_rul(
+            out,
+            asset_id_col=asset_id_col,
+            cycle_col=cycle_col,
+            failure_cycle_col=failure_cycle_col,
+        )
+    if add_labels and "RUL" in out.columns:
+        out = create_rul_labels(
+            out,
+            rul_col="RUL",
+            warning_threshold=warning_threshold,
+            critical_threshold=critical_threshold,
+        )
+    if add_rolling_stats and feature_cols:
+        out = rolling_stats(
+            out,
+            feature_cols,
+            [rolling_window],
+            partition_by=[asset_id_col],
+            order_by=order_cols,
+            stats=("mean", "std", "min", "max"),
+        )
+    if add_degradation and feature_cols:
+        out = add_degradation_rates(
+            out, feature_cols, [asset_id_col], order_cols
+        )
+    return out

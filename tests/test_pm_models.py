@@ -1,0 +1,115 @@
+"""Tests for the Spark ML PM models (ops 47-49, 53): RUL regression,
+failure classification, prepare_pm_features composition, and the
+composite process pipeline on a synthetic degradation panel."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_toolkit_spark.operators import pm
+from anomaly_detection_toolkit_spark.operators.pm_models import (
+    FailureClassifier,
+    PMProcessPipeline,
+    RULEstimator,
+)
+
+
+@pytest.fixture(scope="module")
+def panel(spark):
+    """20 assets × 60 cycles with a sensor that degrades linearly
+    toward failure (so RUL is learnable from the sensor)."""
+    rng = np.random.default_rng(42)
+    rows = []
+    for a in range(20):
+        life = 60
+        for c in range(1, life + 1):
+            rul = life - c
+            s1 = 100.0 - 1.5 * c + rng.normal(0, 1.0)
+            s2 = 0.5 * c + rng.normal(0, 0.5)
+            rows.append((f"a{a:02d}", c, float(s1), float(s2), float(rul)))
+    return spark.createDataFrame(
+        rows, "asset_id string, cycle int, sensor1 double, sensor2 double, rul double"
+    )
+
+
+def test_rul_estimator_learns_degradation(panel):
+    est = RULEstimator(n_estimators=30, max_depth=8).fit(
+        panel, ["sensor1", "sensor2"], "rul"
+    )
+    pred = est.predict(panel)
+    rows = pred.select("rul", "rul_pred").collect()
+    err = np.mean([abs(r.rul - r.rul_pred) for r in rows])
+    assert err < 8.0  # clearly learnable signal
+    assert all(r.rul_pred >= 0 for r in rows)  # clipped at 0
+
+
+def test_rul_degradation_threshold_mode(panel):
+    # fit on the degradation signal itself: y = max(0, thr - sensor2)
+    est = RULEstimator().fit(
+        panel, ["sensor1"], "sensor2", degradation_threshold=30.0
+    )
+    pred = est.predict(panel)
+    assert pred.filter(F.col("rul_pred") < 0).count() == 0
+
+
+def test_rul_unfitted_raises(panel):
+    with pytest.raises(ValueError):
+        RULEstimator().predict(panel)
+    with pytest.raises(ValueError):
+        RULEstimator(method="nope")
+
+
+def test_failure_classifier_probas(panel):
+    labeled = panel.withColumn("binary_label", (F.col("rul") <= 15).cast("int"))
+    clf = FailureClassifier(n_estimators=30).fit(
+        labeled, ["sensor1", "sensor2"], "binary_label"
+    )
+    pred = clf.predict(labeled)
+    rows = pred.select("binary_label", "failure_pred", "failure_proba").collect()
+    assert all(0.0 <= r.failure_proba <= 1.0 for r in rows)
+    acc = np.mean([r.binary_label == r.failure_pred for r in rows])
+    assert acc > 0.9
+    # reference invariant: probabilities of the two classes sum to 1 —
+    # here failure_proba = P[1], so P[0] = 1 - P[1] by construction;
+    # check proba is consistent with the hard prediction
+    assert all(
+        (r.failure_proba > 0.5) == (r.failure_pred == 1)
+        for r in rows
+    )
+
+
+def test_prepare_pm_features_composition(panel):
+    out = pm.prepare_pm_features(
+        panel.drop("rul"),
+        rolling_window=3,
+        warning_threshold=30,
+        critical_threshold=15,
+        add_degradation=True,
+    )
+    cols = set(out.columns)
+    assert {"RUL", "health_status", "binary_label", "multi_class_label"} <= cols
+    assert "sensor1_rolling_mean_3" in cols  # reference naming (:306-322)
+    assert "sensor1_degradation_rate_1" in cols
+    r = out.filter("asset_id = 'a00' AND cycle = 60").first()
+    assert r.RUL == 0 and r.health_status == "failed"
+
+
+def test_process_pipeline_latest_row_and_nullable_models(panel):
+    labeled = panel.withColumn("binary_label", (F.col("rul") <= 15).cast("int"))
+    est = RULEstimator(n_estimators=20).fit(labeled, ["sensor1", "sensor2"], "rul")
+    pipe = PMProcessPipeline(
+        rul=est,
+        classifier=None,  # missing model → NULL columns, no abort
+        thresholds={"sensor2": {"warning": 25.0, "critical": 28.0}},
+    )
+    results, alerts = pipe.process(labeled)
+    rows = results.collect()
+    assert len(rows) == 20  # one row per asset (latest cycle)
+    assert all(r.cycle == 60 for r in rows)
+    assert all(r.rul_pred is not None and r.rul_pred >= 0 for r in rows)
+    assert all(r.failure_pred is None and r.failure_proba is None for r in rows)
+    assert alerts is not None and alerts.count() > 0
+    lv = {r.raw_level for r in alerts.collect()}
+    assert "critical" in lv
