@@ -498,12 +498,16 @@ class DriftCheck(Check):
                 for name, expr in cols.items()
             ]
         )
+        # persist: six downstream subtrees (parts/buckets/totals/grid)
+        # reference this table — without the cache each would re-run
+        # the full input scan (verified in tests/test_plans.py)
         counts = (
             df.select(F.col(self.part_col).alias("part"), F.explode(pairs).alias("cb"))
             .select("part", F.col("cb.column").alias("column"), F.col("cb.bucket").alias("bucket"))
             .filter(F.col("bucket").isNotNull())
             .groupBy("column", "part", "bucket")
             .agg(F.count(F.lit(1)).alias("c"))
+            .persist()
         )
         parts = counts.select("column", "part").distinct()
         buckets = counts.select("column", "bucket").distinct()

@@ -1,0 +1,105 @@
+"""Physical-plan regression tests (SURVEY §4): the optimizations the
+engine relies on must be visible in `.explain` output — a silent
+plan regression (lost broadcast, extra shuffle, un-pruned binary
+column, unpushed filter) is a perf bug at 10^12 rows even when every
+value is still correct."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_toolkit_spark.operators.statistical import (
+    SeasonalBaselineDetector,
+    ZScoreDetector,
+)
+from anomaly_detection_toolkit_spark.sources.testdata import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_zscore_transform_is_shuffle_free(spark):
+    df = load_table(spark, "events", SF_DIR)
+    det = ZScoreDetector(threshold=3.0).fit(df, ["value"])
+    plan = plan_of(det.transform(df))
+    # fit collected the stats; the transform must be a pure projection
+    assert "Exchange" not in plan
+    assert "*(1) Project" in plan  # whole-stage-codegen'd projection
+
+
+def test_seasonal_transform_broadcasts_stats(spark):
+    df = load_table(spark, "events", SF_DIR)
+    det = SeasonalBaselineDetector(season="hour").fit(df, ["value"], date_col="ts")
+    plan = plan_of(det.transform(df))
+    assert "BroadcastHashJoin" in plan  # tiny stats dim table
+    # the only hash exchange allowed is the one INSIDE the broadcast
+    # side (building the ≤24-row stats table); the fact scan streams
+    # straight into the join
+    fact_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in fact_side
+
+
+def test_column_stats_prunes_scan(spark):
+    from anomaly_detection_toolkit_spark.plans.checks import ColumnStatsCheck
+
+    df = spark.createDataFrame(
+        [("a", b"xx", 1, 1.0, 0)], "image_id string, bytes binary, w int, v double, part int"
+    )
+    # write+reread so a real parquet scan exists to prune
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(d)
+        src = spark.read.parquet(d)
+        stats = ColumnStatsCheck({"w": {"min": 0}})._stats(src)
+        plan = plan_of(stats)
+        assert "bytes" not in plan  # binary column pruned from the scan
+        assert "image_id" not in plan
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = load_table(spark, "events", SF_DIR).filter(F.col("event_type") == "click")
+    plan = plan_of(df.select("event_id"))
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)" in plan
+
+
+def test_drift_single_input_pass(spark):
+    from anomaly_detection_toolkit_spark.plans.checks import DriftCheck
+
+    rows = [("i%d" % i, i % 4, i % 7, "ppm", i * 31, i % 3) for i in range(100)]
+    df = spark.createDataFrame(rows, "image_id string, w int, h int, fmt string, phash long, part int")
+    chk = DriftCheck()
+    counts_plan = plan_of(chk._drift_table(df, chk.default_columns()))
+    # all four watched columns flow through ONE generate+aggregate
+    # materialization: the counts table is persisted, so every
+    # downstream subtree (parts/buckets/totals/grid — six of them)
+    # reads InMemoryTableScan instead of re-running the input
+    # scan+explode. (The Generate nodes still PRINT under each cache
+    # scan as lineage, so we assert on the cache reads, not on the
+    # printed Generate count.)
+    assert counts_plan.count("InMemoryTableScan") >= 5
+
+
+def test_ann_brute_force_broadcasts_queries(spark):
+    from anomaly_detection_toolkit_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    q = emb.filter(F.col("vec_id") < 3)
+    plan = plan_of(brute_force_topk(emb, q, k=2))
+    assert "BroadcastNestedLoopJoin" in plan  # corpus side never shuffles
+
+
+def test_uniqueness_uses_partial_aggregation(spark):
+    from anomaly_detection_toolkit_spark.plans.checks import UniquenessCheck
+
+    rows = [("i%d" % i, i % 10, 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "image_id string, phash long, part int")
+    out = UniquenessCheck("phash").run(df)
+    plan = plan_of(out.violations)
+    # partial_count before the exchange = map-side combine (the
+    # anti-hot-key property SURVEY §4.2.2 relies on)
+    assert "partial_count" in plan or "HashAggregate(keys=[phash" in plan
