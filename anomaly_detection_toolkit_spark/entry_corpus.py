@@ -197,7 +197,11 @@ _SHINGLE_CTE = f"""
 _JACCARD_SQL = f"""
     WITH {_SHINGLE_CTE},
     sized AS (SELECT doc_id, len(sh) AS n_sh, sh FROM g WHERE len(sh) > 0),
-    ex AS (SELECT doc_id, unnest(sh) AS gram FROM sized),
+    ex0 AS (SELECT doc_id, unnest(sh) AS gram FROM sized),
+    -- document-frequency prune (must mirror the Spark side's max_df):
+    -- shingles in >20 docs are dropped before the pair join
+    hot AS (SELECT gram FROM ex0 GROUP BY gram HAVING count(*) > 20),
+    ex AS (SELECT doc_id, gram FROM ex0 ANTI JOIN hot USING (gram)),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
       FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
@@ -215,7 +219,9 @@ _JACCARD_SQL = f"""
 @register("dedup_ngram_jaccard_documents", _JACCARD_SQL)
 def dedup_ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, "documents", sf_dir)
-    out = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.2)
+    # max_df prunes stop-shingles before the pair join (the mandatory
+    # scale guard, SURVEY dedup notes); jaccard becomes a lower bound
+    out = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.2, max_df=20)
     return out.select("id_a", "id_b", "inter", r4(F.col("jaccard")).alias("jaccard"))
 
 

@@ -120,17 +120,23 @@ def ngram_jaccard_pairs(
     (stop-shingles otherwise generate quadratic pairs); the resulting
     Jaccard is then a lower bound, which is the standard trade.
     """
-    sized = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    sizes = sized.select("id", "n_sh").filter(F.col("n_sh") > 0)
     # join on the 60-bit hash of the gram, not the string: smaller
     # shuffle payload + integer key compare (the hash projection runs
     # AFTER explode, i.e. codegen'd, not in an interpreted lambda).
     # Collision risk 2^-60 per pair — negligible vs the shuffle win.
-    exploded = sized.select(
-        "id", F.explode("sh").alias("g0")
-    ).select("id", hash60(F.col("g0")).alias("g"))
+    # PERSISTED: shingle construction runs in interpreted higher-order
+    # lambdas (the expensive stage, ~2ms/doc) and three subtrees
+    # (sizes, both join sides, optional df-prune) would otherwise each
+    # recompute it.
+    exploded = (
+        df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+        .select("id", F.explode("sh").alias("g0"))
+        .select("id", hash60(F.col("g0")).alias("g"))
+        .persist()
+    )
+    # shingles are distinct per doc, so the per-doc set size is just
+    # the exploded row count — no second shingle pass
+    sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_df is not None:
         dfreq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
         exploded = exploded.join(dfreq.filter(F.col("df") <= max_df), "g", "inner").select(
