@@ -133,3 +133,34 @@ def streaming_sliding_buffer_events(spark: SparkSession, sf_dir: str) -> DataFra
         r4(F.col("score")).alias("score"),
         "verdict",
     )
+
+
+_SALTED_SQL = """
+    WITH f AS (
+      SELECT doc_id, lang, source,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS fingerprint
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, source, fingerprint,
+             row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      FROM f
+    )
+    SELECT doc_id, lang, source, fingerprint FROM r WHERE rn = 1
+"""
+
+
+@register("dedup_salted_documents", _SALTED_SQL)
+def dedup_salted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted repartition + sort-within-partition dedup (the literal
+    north-rule uniqueness plan) — must produce exactly the keeper set
+    the naive window dedup produces (the oracle)."""
+    from anomaly_detection_toolkit_spark.operators.salted import salted_sorted_dedup
+    from anomaly_detection_toolkit_spark.operators.text import fingerprint
+
+    df = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "source", fingerprint(F.col("text")).alias("fingerprint")
+    )
+    out = salted_sorted_dedup(df, ["fingerprint"], ["doc_id"], n_salts=8)
+    return out.select("doc_id", "lang", "source", "fingerprint")
