@@ -38,7 +38,7 @@ OUTPUT_SCHEMA = (
     "asset_id string, ts double, status string, buffer_size int, "
     "win_mean double, win_std double, score double, verdict int"
 )
-STATE_SCHEMA = "tss array<double>, vals array<double>"
+STATE_SCHEMA = "tss array<double>, vals array<double>, max_ts double"
 
 
 def _process_group(
@@ -47,18 +47,27 @@ def _process_group(
     state: GroupState,
     window_size: int,
     threshold: float,
+    late_delay_s: float | None = None,
 ) -> Iterator[pd.DataFrame]:
     (asset_id,) = key
     if state.exists:
-        tss, vals = state.get
+        tss, vals, max_ts = state.get
         tss, vals = list(tss), list(vals)
     else:
-        tss, vals = [], []
+        tss, vals, max_ts = [], [], float("-inf")
     out: dict[str, list] = {k: [] for k in (
         "asset_id", "ts", "status", "buffer_size", "win_mean", "win_std", "score", "verdict"
     )}
     rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
     for ts, val in zip(rows["ts"].astype(float), rows["value"].astype(float)):
+        max_ts = max(max_ts, ts)
+        # late-data policy: rows older than the per-asset high-water
+        # mark minus the allowed delay are dropped, not folded in
+        # (Spark's watermark does NOT auto-filter input rows for
+        # applyInPandasWithState — it only drives state timeouts — so
+        # the policy is enforced here, in state)
+        if late_delay_s is not None and ts < max_ts - late_delay_s:
+            continue
         tss.append(ts)
         vals.append(val)
         if len(vals) > window_size:  # deque(maxlen=w) drop-oldest
@@ -83,7 +92,7 @@ def _process_group(
             out["win_std"].append(sd)
             out["score"].append(score)
             out["verdict"].append(-1 if score > threshold else 1)
-    state.update((tss, vals))
+    state.update((tss, vals, max_ts))
     yield pd.DataFrame(out)
 
 
@@ -94,11 +103,23 @@ def sliding_buffer_scores(
     asset_col: str = "asset_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    watermark_delay: str | None = None,
 ) -> DataFrame:
     """Stateful sliding-window scoring over a streaming DataFrame.
 
     Input stream schema: (asset_col string, ts_col double-castable,
     value_col double-castable). Returns the OUTPUT_SCHEMA stream.
+
+    Late-data policy: with ``watermark_delay`` (e.g. ``"10 seconds"``)
+    rows older than the PER-ASSET event-time high-water mark minus the
+    delay are DROPPED before they reach the buffer — the documented
+    upgrade over the reference's deque, which appends arbitrarily late
+    points in arrival order (``predictive_maintenance.py:1153-1184``).
+    The drop is enforced inside the state function (Spark's watermark
+    does not auto-filter input for applyInPandasWithState; the
+    ``withWatermark`` declaration is still attached so the engine can
+    bound state retention). Without a delay the operator reproduces
+    the reference's fold-in-arrival-order behaviour exactly.
     """
     from pyspark.sql import functions as F
 
@@ -107,9 +128,19 @@ def sliding_buffer_scores(
         F.col(ts_col).cast("double").alias("ts"),
         F.col(value_col).cast("double").alias("value"),
     )
+    late_delay_s: float | None = None
+    if watermark_delay is not None:
+        qty, unit = watermark_delay.split()
+        late_delay_s = float(qty) * {
+            "second": 1.0, "seconds": 1.0, "minute": 60.0, "minutes": 60.0,
+            "hour": 3600.0, "hours": 3600.0,
+        }[unit]
+        src = src.withColumn(
+            "_event_time", F.col("ts").cast("timestamp")
+        ).withWatermark("_event_time", watermark_delay)
 
     def fn(key, pdfs, state):
-        return _process_group(key, pdfs, state, window_size, threshold)
+        return _process_group(key, pdfs, state, window_size, threshold, late_delay_s)
 
     return src.groupBy("asset_id").applyInPandasWithState(
         fn,

@@ -114,3 +114,46 @@ def test_buffering_until_full(spark, tmp_path):
     got = _run_stream(spark, tmp_path, pts)
     assert all(r.status == "buffering" for r in got)
     assert [r.buffer_size for r in got] == list(range(1, W))
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Batch 2 carries a point far older than the watermark — it must
+    be dropped before reaching the buffer (the engine's late-data
+    policy; the no-watermark path would fold it in)."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    src = tmp_path / "in"
+    src.mkdir()
+    base = _time.time() - 3600
+    batch1 = [("A", float(1000 + i), 1.0) for i in range(10)]
+    batch2 = [("A", 100.0, 99.0), ("A", 1010.0, 1.0)]  # first is very late
+    for fi, pts in enumerate((batch1, batch2)):
+        p = src / f"part{fi}.json"
+        with open(p, "w") as f:
+            for a, ts, v in pts:
+                f.write(_json.dumps({"asset_id": a, "ts": ts, "value": v}) + "\n")
+        _os.utime(p, (base + fi * 60, base + fi * 60))
+    stream = (
+        spark.readStream.schema("asset_id string, ts double, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = sliding_buffer_scores(
+        stream, window_size=5, threshold=3.0, watermark_delay="10 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wmbuf")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM wmbuf ORDER BY ts").collect()
+    tss = [r.ts for r in rows]
+    assert 100.0 not in tss  # late row dropped by the watermark
+    assert 1010.0 in tss  # on-time row from the same batch survives
+    assert len(rows) == 11
