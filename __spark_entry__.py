@@ -31,8 +31,13 @@ from anomaly_detection_toolkit_spark import entry_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: z-score anomaly detection over events at sf0.001."""
-    return entry_queries.QUERIES["detect_zscore_events"](spark, "/root/testdata/sf0.001")
+    """Flagship: the north-star validation suite end to end —
+    deterministic defect-injected image+caption table → schema/stats/
+    uniqueness/referential/drift/payload checks → per-partition
+    (part, check) verdict grid with the -1/+1 encoding."""
+    return entry_queries.QUERIES["northstar_suite_verdicts"](
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

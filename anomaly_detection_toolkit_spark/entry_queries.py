@@ -305,3 +305,4 @@ from anomaly_detection_toolkit_spark import entry_alerts  # noqa: E402,F401
 from anomaly_detection_toolkit_spark import entry_ml  # noqa: E402,F401
 from anomaly_detection_toolkit_spark import entry_multimodal  # noqa: E402,F401
 from anomaly_detection_toolkit_spark import entry_models  # noqa: E402,F401
+from anomaly_detection_toolkit_spark import entry_suite  # noqa: E402,F401
