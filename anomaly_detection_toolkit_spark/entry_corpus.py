@@ -262,10 +262,8 @@ _MINHASH_SIG_SQL = f"""
 @register("dedup_minhash_sig_documents", _MINHASH_SIG_SQL)
 def dedup_minhash_sig_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, "documents", sf_dir)
-    hashed = df.select("doc_id", dedup.hashed_shingles(F.col("text"), 3).alias("hs"))
-    sig = dedup.minhash_from_hashes(F.col("hs"), _NUM_PERM)
-    return hashed.select(
-        "doc_id", *[sig[i].alias(f"s{i}") for i in range(_NUM_PERM)]
+    return dedup.minhash_signatures_exploded(df, "text", "doc_id", _NUM_PERM, 3).select(
+        F.col("id").alias("doc_id"), *[f"s{i}" for i in range(_NUM_PERM)]
     )
 
 

@@ -196,6 +196,41 @@ def minhash_signature(text: Column, num_perm: int = 16, n: int = 3) -> Column:
     return minhash_from_hashes(hashed_shingles(text, n), num_perm)
 
 
+def minhash_signatures_exploded(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_perm: int = 16, n: int = 3
+) -> DataFrame:
+    """(id, s0..s{num_perm-1}) via the explode+aggregate plan.
+
+    Spark evaluates higher-order-function lambdas interpreted
+    (~20µs per md5 element); exploding the shingles first runs the
+    md5+conv in CODEGEN'D projections (~10× faster per element) and
+    computes all permutation minima as partially-aggregated ``min``s —
+    the shuffle carries only (id × num_perm partial mins), so the plan
+    stays hot-key-safe and cheap at any scale. Preferred when the
+    signature is the output; the array form in
+    ``minhash_from_hashes`` remains for per-row composition.
+    Documents with no shingles get the sentinel signature.
+    """
+    hashed = (
+        df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+        .select("id", F.explode_outer("sh").alias("g0"))
+        .select(
+            "id",
+            F.when(
+                F.col("g0").isNotNull(), F.pmod(hash60(F.col("g0")), F.lit(1 << 30))
+            ).alias("h"),
+        )
+    )
+    aggs = [
+        F.coalesce(
+            F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE31))),
+            F.lit(MERSENNE31),
+        ).alias(f"s{i}")
+        for i, (a, b) in enumerate(_perm_params(num_perm))
+    ]
+    return hashed.groupBy("id").agg(*aggs)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -217,14 +252,12 @@ def minhash_lsh_pairs(
     carried on both sides.
     """
     rows_per_band = num_perm // bands
-    # two projections: (1) one md5 pass over shingles, (2) integer-only
-    # permutation mins — keeps the expensive hash from being inlined
-    # num_perm times into the signature expression tree
-    hashed = df.select(
-        F.col(id_col).alias("id"), hashed_shingles(F.col(text_col), n).alias("hs")
-    )
-    with_sig = hashed.select(
-        "id", minhash_from_hashes(F.col("hs"), num_perm).alias("sig")
+    # signatures via the explode+aggregate plan (codegen'd md5 — see
+    # minhash_signatures_exploded docstring for the interpreted-lambda
+    # cost it avoids)
+    sig_df = minhash_signatures_exploded(df, text_col, id_col, num_perm, n)
+    with_sig = sig_df.select(
+        "id", F.array(*[F.col(f"s{i}") for i in range(num_perm)]).alias("sig")
     )
     band_arr = F.array(
         *[

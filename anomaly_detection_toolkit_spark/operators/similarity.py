@@ -81,14 +81,25 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, cosine_sim, rank). The query set
     is broadcast; ties broken by neighbor id for determinism.
     """
+    # norms are materialized once per ROW before the join — computing
+    # them inside the pair expression would re-run the interpreted
+    # aggregate lambda once per (query, neighbor) pair
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
     )
     # rank on round(cos, 6): float-summation association differs across
     # engines/plans by ~1ulp; rounding makes the ranking reproducible,
@@ -134,17 +145,21 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
         srp_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
         srp_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cosine_sim"), 6).desc(), F.col("neighbor_id")
@@ -176,13 +191,17 @@ def embedding_near_dup_pairs(
     v = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
         srp_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     a = v.alias("a")
     b = v.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn("cosine_sim", cosine(F.col("a.vec"), F.col("b.vec")))
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm")),
+        )
         .filter(F.col("cosine_sim") >= min_cosine)
         .select(
             F.col("a.id").alias("id_a"),
