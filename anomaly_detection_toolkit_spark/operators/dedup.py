@@ -102,6 +102,33 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def exploded_gram_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, g) distinct 60-bit hashes of word n-grams, built entirely
+    post-explode: tokens → posexplode → ``lead`` window → concat →
+    md5 — every stage codegen'd (the per-row array-lambda shingle
+    construction costs ~20µs/gram interpreted; this path is ~10×
+    faster per gram at the price of one shuffle by id for the window,
+    which the downstream inverted-index join needs anyway)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.posexplode(F.split(normalize(F.col(text_col)), " "))
+    ).withColumnsRenamed({"pos": "p", "col": "t"})
+    w = Window.partitionBy("id").orderBy("p")
+    parts = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, n)]
+    grams = toks.select(
+        "id", F.concat_ws(" ", *parts).alias("g0"), F.lead("t", n - 1).over(w).alias("_last")
+    ).filter(F.col("_last").isNotNull())
+    out = grams.select("id", hash60(F.col("g0")).alias("g"))
+    # distinct matters for set semantics (Jaccard); min-style
+    # consumers (MinHash) skip the extra shuffle
+    return out.dropDuplicates(["id", "g"]) if distinct else out
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -121,19 +148,12 @@ def ngram_jaccard_pairs(
     Jaccard is then a lower bound, which is the standard trade.
     """
     # join on the 60-bit hash of the gram, not the string: smaller
-    # shuffle payload + integer key compare (the hash projection runs
-    # AFTER explode, i.e. codegen'd, not in an interpreted lambda).
-    # Collision risk 2^-60 per pair — negligible vs the shuffle win.
-    # PERSISTED: shingle construction runs in interpreted higher-order
-    # lambdas (the expensive stage, ~2ms/doc) and three subtrees
-    # (sizes, both join sides, optional df-prune) would otherwise each
-    # recompute it.
-    exploded = (
-        df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
-        .select("id", F.explode("sh").alias("g0"))
-        .select("id", hash60(F.col("g0")).alias("g"))
-        .persist()
-    )
+    # shuffle payload + integer key compare. Collision risk 2^-60 per
+    # pair — negligible vs the shuffle win. Grams built post-explode
+    # (codegen'd — see exploded_gram_hashes). PERSISTED: three
+    # subtrees (sizes, both join sides, optional df-prune) reference
+    # this table.
+    exploded = exploded_gram_hashes(df, text_col, id_col, n).persist()
     # shingles are distinct per doc, so the per-doc set size is just
     # the exploded row count — no second shingle pass
     sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -211,24 +231,23 @@ def minhash_signatures_exploded(
     ``minhash_from_hashes`` remains for per-row composition.
     Documents with no shingles get the sentinel signature.
     """
-    hashed = (
-        df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
-        .select("id", F.explode_outer("sh").alias("g0"))
-        .select(
-            "id",
-            F.when(
-                F.col("g0").isNotNull(), F.pmod(hash60(F.col("g0")), F.lit(1 << 30))
-            ).alias("h"),
-        )
+    ids = df.select(F.col(id_col).alias("id"))
+    hashed = exploded_gram_hashes(df, text_col, id_col, n, distinct=False).select(
+        "id", F.pmod(F.col("g"), F.lit(1 << 30)).alias("h")
     )
     aggs = [
-        F.coalesce(
-            F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE31))),
-            F.lit(MERSENNE31),
-        ).alias(f"s{i}")
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE31))).alias(f"s{i}")
         for i, (a, b) in enumerate(_perm_params(num_perm))
     ]
-    return hashed.groupBy("id").agg(*aggs)
+    sigs = hashed.groupBy("id").agg(*aggs)
+    # left join restores gram-less docs with the sentinel signature
+    return ids.join(sigs, "id", "left").select(
+        "id",
+        *[
+            F.coalesce(F.col(f"s{i}"), F.lit(MERSENNE31)).alias(f"s{i}")
+            for i in range(num_perm)
+        ],
+    )
 
 
 def minhash_lsh_pairs(
