@@ -84,6 +84,21 @@ def main() -> None:
     suite_sec, n_img = bench_validation_suite(spark, img_path)
     timings["validation_suite"] = round(suite_sec, 3)
 
+    # skewed-key dedup: 2M rows, 40% sharing ONE key — the hot-phash
+    # shape the north rule names; exercises the salted repartition +
+    # sort-within-partition plan end to end
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_toolkit_spark.operators.salted import salted_sorted_dedup
+
+    skewed = spark.range(0, 2_000_000, 1, 64).select(
+        F.when(F.col("id") % 5 < 2, F.lit(0xC0FFEE)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("o"),
+    )
+    t0 = time.perf_counter()
+    _noop_write(salted_sorted_dedup(skewed, ["k"], ["o"], n_salts=16))
+    timings["salted_dedup_skewed_2m"] = round(time.perf_counter() - t0, 3)
+
     from anomaly_detection_toolkit_spark import entry_queries
 
     for name, fn in sorted(entry_queries.QUERIES.items()):
