@@ -257,3 +257,65 @@ def detect(
         )
 
     return df.groupBy(series_col).applyInPandas(kernel, schema=schema)
+
+
+def coefficients(
+    df: DataFrame,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    wavelet: str = "db4",
+    level: int = 5,
+) -> DataFrame:
+    """op-28 (``wavelet.py:197-221``): expose the DWT decomposition
+    per series as rows (series, kind, lvl, idx, coeff) — 'approx' plus
+    'detail' levels 1..L (1 = finest), long-format so downstream SQL
+    can aggregate coefficients without nested arrays."""
+    schema = (
+        f"{series_col} string, kind string, lvl int, idx int, coeff double"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        coeffs, _ = wavedec(x, wavelet, level)
+        sid = str(pdf[series_col].iloc[0])
+        rows = []
+        for i, c in enumerate(coeffs[0]):
+            rows.append((sid, "approx", 0, i, float(c)))
+        n_details = len(coeffs) - 1
+        for li, d in enumerate(coeffs[1:]):
+            lvl = n_details - li  # pywt ordering: coarsest first
+            for i, c in enumerate(d):
+                rows.append((sid, "detail", lvl, i, float(c)))
+        return pd.DataFrame(
+            rows, columns=[series_col, "kind", "lvl", "idx", "coeff"]
+        )
+
+    return df.groupBy(series_col).applyInPandas(kernel, schema=schema)
+
+
+def cwt(
+    df: DataFrame,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    scales: Sequence[int] | None = None,
+) -> DataFrame:
+    """op-28 CWT (``wavelet.py:223-258``): Morlet coefficients per
+    series as (series, scale, idx, coeff) rows."""
+    scales = list(scales or range(1, 65))
+    schema = f"{series_col} string, scale int, idx int, coeff double"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        c = cwt_morlet(x, scales)
+        sid = str(pdf[series_col].iloc[0])
+        out = []
+        for si, s in enumerate(scales):
+            for i, v in enumerate(c[si]):
+                out.append((sid, int(s), i, float(v)))
+        return pd.DataFrame(out, columns=[series_col, "scale", "idx", "coeff"])
+
+    return df.groupBy(series_col).applyInPandas(kernel, schema=schema)

@@ -110,3 +110,30 @@ def test_spark_denoise_matches_kernel(spark):
     got = np.array([r.denoised for r in got_rows])
     want = wv.denoise_series(noisy, "db4", 5, "soft")
     np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_spark_coefficients_long_format(spark):
+    _, noisy = _noisy_signal(128)
+    rows = [("s", float(i), float(v)) for i, v in enumerate(noisy)]
+    df = spark.createDataFrame(rows, "series string, t double, value double")
+    out = wv.coefficients(df, "series", "t", "value", level=3).collect()
+    coeffs, _ = wv.wavedec(noisy, "db4", 3)
+    by_kind = {}
+    for r in out:
+        by_kind.setdefault((r.kind, r.lvl), []).append((r.idx, r.coeff))
+    approx = [c for _, c in sorted(by_kind[("approx", 0)])]
+    np.testing.assert_allclose(approx, coeffs[0], atol=1e-9)
+    # finest detail = lvl 1, matches the LAST wavedec entry
+    finest = [c for _, c in sorted(by_kind[("detail", 1)])]
+    np.testing.assert_allclose(finest, coeffs[-1], atol=1e-9)
+
+
+def test_spark_cwt_rows(spark):
+    _, noisy = _noisy_signal(64)
+    rows = [("s", float(i), float(v)) for i, v in enumerate(noisy)]
+    df = spark.createDataFrame(rows, "series string, t double, value double")
+    out = wv.cwt(df, "series", "t", "value", scales=range(1, 5)).collect()
+    assert len(out) == 4 * 64
+    want = wv.cwt_morlet(noisy, range(1, 5))
+    got_s1 = sorted(((r.idx, r.coeff) for r in out if r.scale == 1))
+    np.testing.assert_allclose([c for _, c in got_s1], want[0], atol=1e-9)
