@@ -17,6 +17,7 @@ These hashes also seed the MinHash/SimHash operators in ``dedup.py``.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -154,3 +155,62 @@ def add_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", fingerprint(t)).withColumn(
         "fingerprint60", hash60(fingerprint(t))
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling hash)
+# ---------------------------------------------------------------------------
+
+WINNOW_BASE = np.uint64(1_000_003)  # polynomial base; mod 2^64 via wraparound
+
+
+def _winnow_doc(norm_text: str, k: int, w: int) -> list[tuple[int, int]]:
+    """(position, hash) fingerprints of one document via winnowing
+    (Schleimer, Wilkerson & Aiken 2003, the MOSS algorithm — public):
+    char k-gram polynomial rolling hashes (uint64 wraparound, fully
+    vectorized), then the RIGHTMOST minimum of each window of w
+    consecutive hashes. Guarantees: any match of length ≥ w+k−1 shares
+    a fingerprint; fingerprint density ≈ 2/(w+1)."""
+    c = np.frombuffer(norm_text.encode("utf-8"), dtype=np.uint8)
+    if len(c) < k:
+        return []
+    sw = np.lib.stride_tricks.sliding_window_view(c, k).astype(np.uint64)
+    powers = WINNOW_BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    hashes = (sw * powers).sum(axis=1)  # wraps mod 2^64 by design
+    if len(hashes) < w:
+        picks = np.array([int(np.argmin(hashes))])
+    else:
+        hw = np.lib.stride_tricks.sliding_window_view(hashes, w)
+        # rightmost-min rule: argmin over the reversed window
+        right_idx = w - 1 - np.argmin(hw[:, ::-1], axis=1)
+        picks = np.unique(np.arange(len(hw)) + right_idx)
+    # shift to signed int64 range IN PYTHON ints (numpy uint64 minus a
+    # python int wraps back to uint64)
+    return [(int(p), int(hashes[p]) - (1 << 63)) for p in picks]
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8, w: int = 4
+) -> DataFrame:
+    """(id, pos, fp) winnowing fingerprint rows per document — the
+    rolling-hash fingerprinting operator of the training-data brief.
+    Arrow-batched mapInPandas; the per-doc kernel is vectorized numpy
+    (no per-char Python). Matching fingerprint VALUES across docs ⇒
+    shared substrings of length ≥ w+k−1; positions localize them."""
+    import pandas as _pd
+
+    from pyspark.sql import functions as _F
+
+    cols = df.select(_F.col(id_col).alias("id"), normalize(_F.col(text_col)).alias("norm"))
+
+    def run(batches):
+        for pdf in batches:
+            ids, poss, fps = [], [], []
+            for i, t in zip(pdf["id"], pdf["norm"]):
+                for p, h in _winnow_doc(t or "", k, w):
+                    ids.append(i)
+                    poss.append(p)
+                    fps.append(h)
+            yield _pd.DataFrame({"id": ids, "pos": poss, "fp": fps})
+
+    return cols.mapInPandas(run, schema="id long, pos int, fp long")

@@ -163,3 +163,33 @@ def test_srp_bucket_range(emb_df):
         similarity.srp_bucket(F.col("embedding"), planes).alias("b")
     ).collect()
     assert all(0 <= r.b < 16 for r in buckets)
+
+
+def test_winnowing_fingerprints(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    docs = [
+        (0, base),
+        (1, base),  # identical
+        (2, "PREFIX INSERTED HERE " + base),  # shifted copy
+        (3, "completely unrelated content with different words entirely here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = text.winnow_fingerprints(df, k=8, w=4).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r.id, set()).add(r.fp)
+    # identical docs → identical fingerprint sets (positions included)
+    d0 = {(r.pos, r.fp) for r in out if r.id == 0}
+    d1 = {(r.pos, r.fp) for r in out if r.id == 1}
+    assert d0 == d1 and len(d0) > 3
+    # winnowing guarantee: the shifted copy shares most hash VALUES
+    overlap = len(fps[0] & fps[2]) / len(fps[0])
+    assert overlap > 0.7
+    # unrelated doc shares (almost) nothing
+    assert len(fps[0] & fps[3]) <= 1
+
+
+def test_winnowing_short_and_empty(spark):
+    df = spark.createDataFrame([(0, "tiny"), (1, "")], "doc_id long, text string")
+    out = text.winnow_fingerprints(df, k=8, w=4).collect()
+    assert out == []  # both below k chars → no fingerprints, no crash
