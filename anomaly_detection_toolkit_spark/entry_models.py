@@ -164,3 +164,48 @@ def dedup_salted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = salted_sorted_dedup(df, ["fingerprint"], ["doc_id"], n_salts=8)
     return out.select("doc_id", "lang", "source", "fingerprint")
+
+
+@register("text_winnow_documents")  # rows-only: rolling hash not in SQL
+def text_winnow_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_toolkit_spark.operators.text import winnow_fingerprints
+
+    df = load_table(spark, "documents", sf_dir)
+    return winnow_fingerprints(df, k=8, w=4)
+
+
+@register("pm_rul_model_lineitem")  # rows-only: RF training not in SQL
+def pm_rul_model_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 48-49 end to end: engineer features, train the Spark ML RUL
+    regressor + failure classifier on lineitem-as-asset-panel, score."""
+    from anomaly_detection_toolkit_spark.operators.pm_models import (
+        FailureClassifier,
+        RULEstimator,
+    )
+
+    df = load_table(spark, "lineitem", sf_dir)
+    feats = pm.prepare_pm_features(
+        df,
+        asset_id_col="l_orderkey",
+        cycle_col="l_linenumber",
+        feature_cols=["l_quantity", "l_extendedprice", "l_discount"],
+        rolling_window=3,
+        warning_threshold=3,
+        critical_threshold=1,
+        order_cols=["l_linenumber", "l_extendedprice"],
+    )
+    fcols = ["l_quantity", "l_extendedprice", "l_discount",
+             "l_quantity_rolling_mean_3", "l_quantity_rolling_std_3"]
+    feats = feats.fillna(0.0, subset=fcols)
+    est = RULEstimator(n_estimators=20, max_depth=6).fit(feats, fcols, "RUL")
+    clf = FailureClassifier(n_estimators=20, max_depth=6).fit(
+        feats, fcols, "binary_label"
+    )
+    out = clf.predict(est.predict(feats))
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        r4(F.col("rul_pred")).alias("rul_pred"),
+        "failure_pred",
+        r4(F.col("failure_proba")).alias("failure_proba"),
+    )
