@@ -293,7 +293,9 @@ def minhash_lsh_pairs(
             for bi in range(bands)
         ]
     )
-    banded = with_sig.withColumn("band_key", F.explode(band_arr))
+    # persisted: the self-join references the banded table twice and
+    # would otherwise run the signature aggregation once per side
+    banded = with_sig.withColumn("band_key", F.explode(band_arr)).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -378,7 +380,9 @@ def simhash_pairs(
     pair within Hamming ≤ bits/2 shares at least one exact half),
     verified by full Hamming distance. Shuffle only on half-keys."""
     th = df.select(F.col(id_col).alias("id"), token_hashes(F.col(text_col)).alias("th"))
-    sh = th.select("id", simhash_from_hashes(F.col("th"), bits).alias("sh"))
+    # persisted: the half-key self-join references this twice; the
+    # simhash bit-votes are the expensive (interpreted-lambda) stage
+    sh = th.select("id", simhash_from_hashes(F.col("th"), bits).alias("sh")).persist()
     half = bits // 2
     mask = (1 << half) - 1
     chunked = sh.withColumn(
