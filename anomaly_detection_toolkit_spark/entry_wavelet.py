@@ -5,7 +5,7 @@ reconstruction + Spark/numpy parity)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from anomaly_detection_toolkit_spark.entry_queries import r4, register
@@ -15,14 +15,16 @@ from anomaly_detection_toolkit_spark.sources.testdata import load_table
 
 def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, "events", sf_dir)
-    # one series per event_type, ordered by (ts, event_id) via a
-    # numeric order key (epoch seconds + id tie-break)
+    # one series per event_type; the order key is a collision-free
+    # row_number over (ts, event_id) — an arithmetic ts*K + id key can
+    # collide for events < 1s apart, making the kernel's sort (and the
+    # rows-only gate) nondeterministic
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").cast("timestamp").cast("double"), F.col("event_id")
+    )
     return df.select(
         F.col("event_type").alias("series"),
-        (
-            F.col("ts").cast("timestamp").cast("double") * 1000
-            + F.pmod(F.col("event_id"), 1000)
-        ).alias("t"),
+        F.row_number().over(w).cast("double").alias("t"),
         F.col("value"),
     )
 

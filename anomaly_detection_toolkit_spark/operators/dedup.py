@@ -376,24 +376,28 @@ def simhash_pairs(
     bits: int = 32,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: LSH on the two 16-bit halves (any
-    pair within Hamming ≤ bits/2 shares at least one exact half),
-    verified by full Hamming distance. Shuffle only on half-keys."""
+    """Near-dup pairs by SimHash: LSH on ``max_hamming + 1`` bit blocks
+    (Manku et al.'s pigeonhole — d differing bits spread over b blocks
+    leave at least one block untouched iff d < b), verified by full
+    Hamming distance. Shuffle only on block-keys."""
     th = df.select(F.col(id_col).alias("id"), token_hashes(F.col(text_col)).alias("th"))
-    # persisted: the half-key self-join references this twice; the
+    # persisted: the block-key self-join references this twice; the
     # simhash bit-votes are the expensive (interpreted-lambda) stage
     sh = th.select("id", simhash_from_hashes(F.col("th"), bits).alias("sh")).persist()
-    half = bits // 2
-    mask = (1 << half) - 1
-    chunked = sh.withColumn(
-        "chunk",
-        F.explode(
-            F.array(
-                F.concat(F.lit("lo_"), sh.sh.bitwiseAND(F.lit(mask)).cast("string")),
-                F.concat(F.lit("hi_"), F.shiftright(sh.sh, half).bitwiseAND(F.lit(mask)).cast("string")),
+    n_blocks = max_hamming + 1
+    base, extra = divmod(bits, n_blocks)
+    chunk_keys, off = [], 0
+    for j in range(n_blocks):
+        width = base + (1 if j < extra else 0)
+        mask = (1 << width) - 1
+        chunk_keys.append(
+            F.concat(
+                F.lit(f"c{j}_"),
+                F.shiftright(sh.sh, off).bitwiseAND(F.lit(mask)).cast("string"),
             )
-        ),
-    )
+        )
+        off += width
+    chunked = sh.withColumn("chunk", F.explode(F.array(*chunk_keys)))
     a = chunked.alias("a")
     b = chunked.alias("b")
     return (

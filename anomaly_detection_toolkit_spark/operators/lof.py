@@ -60,11 +60,15 @@ def approx_lof(
     -1 — no neighborhood evidence means "suspicious" at validation
     time, and the NULL channel keeps them distinguishable."""
     planes = plane_signs(n_planes, dim)
+    # v feeds both sides of the self-join plus the final left join, and
+    # knn feeds kdist, reach, AND the lof aggregation. Spark re-executes
+    # self-referenced subtrees (no plan-level CSE — see CLAUDE.md), so
+    # without persist the expensive bucket join runs three times.
     v = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         srp_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).persist()
     a, b = v.alias("a"), v.alias("b")
     pairs = a.join(
         b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id"))
@@ -74,7 +78,11 @@ def approx_lof(
         F.sqrt(_sq_dist(F.col("a.vec"), F.col("b.vec"))).alias("d"),
     )
     w = Window.partitionBy("id").orderBy(F.col("d").asc(), F.col("nid"))
-    knn = pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    knn = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .persist()
+    )
     kdist = knn.groupBy("id").agg(F.max("d").alias("kdist"))
     # reach(p,o) = max(kdist(o), d(p,o)); lrd(p) = 1/mean reach
     reach = knn.join(

@@ -154,7 +154,9 @@ def image_features(
                             mean_g=float(img[..., 1].mean()),
                             mean_b=float(img[..., 2].mean()),
                             std_luma=float(luma.std()),
-                            phash=np.int64(np.uint64(codecs.phash64(img)) - (1 << 63)),
+                            # phash64 already returns signed two's-complement
+                            # int64 (codecs.py) — emit as-is, no re-shifting
+                            phash=int(codecs.phash64(img)),
                         )
                     )
                 except (codecs.CodecError, Exception) as e:  # noqa: BLE001
