@@ -13,15 +13,81 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from anomaly_detection_toolkit_spark.entry_queries import r4, register
-from anomaly_detection_toolkit_spark.operators import pm
+from anomaly_detection_toolkit_spark.operators import pm, similarity
 from anomaly_detection_toolkit_spark.operators.lof import approx_lof
 from anomaly_detection_toolkit_spark.sources.testdata import load_table
 
+# --- approximate LOF: SRP buckets + joins + windows are all ANSI-SQL ---
 
-@register("lof_embeddings")  # rows-only: iterative kNN not in SQL
+_LOF_K, _LOF_THR, _LOF_PLANES, _LOF_DIM = 10, 1.5, 3, 64
+
+
+def _lof_bucket_sql(alias: str) -> str:
+    """SRP bucket expression over the same md5-derived hyperplanes the
+    Spark operator uses (similarity.plane_signs) — buckets match
+    bit-for-bit because the plane constants are literal."""
+    cases = []
+    for p, signs in enumerate(similarity.plane_signs(_LOF_PLANES, _LOF_DIM)):
+        dotp = " + ".join(
+            f"({float(s)}) * CAST({alias}.embedding[{i + 1}] AS DOUBLE)"
+            for i, s in enumerate(signs)
+        )
+        cases.append(f"(CASE WHEN ({dotp}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(cases) + ")"
+
+
+_LOF_DIST_SQL = f"""sqrt(list_sum(list_transform(range(1, {_LOF_DIM + 1}),
+    i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+         * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)))))"""
+
+_LOF_SQL = f"""
+    WITH eb AS (
+      SELECT vec_id AS id, embedding, {_lof_bucket_sql('eb0')} AS bucket
+      FROM embeddings eb0
+    ),
+    pairs AS (
+      SELECT a.id AS id, b.id AS nid, {_LOF_DIST_SQL} AS d
+      FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.id <> b.id
+    ),
+    knn AS (
+      SELECT id, nid, d FROM (
+        SELECT id, nid, d,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY round(d, 6) ASC, nid) AS rnk
+        FROM pairs
+      ) WHERE rnk <= {_LOF_K}
+    ),
+    kd AS (SELECT id, max(d) AS kdist FROM knn GROUP BY id),
+    reach AS (
+      SELECT k.id, k.nid, greatest(kd.kdist, k.d) AS reach
+      FROM knn k JOIN kd ON kd.id = k.nid
+    ),
+    lrd AS (
+      SELECT id, 1.0 / greatest(avg(reach), 1e-12) AS lrd
+      FROM reach GROUP BY id
+    ),
+    mlo AS (
+      SELECT k.id, avg(lo.lrd) AS mean_lrd_o
+      FROM knn k JOIN lrd lo ON lo.id = k.nid
+      GROUP BY k.id
+    ),
+    lof AS (
+      SELECT m.id, m.mean_lrd_o / l.lrd AS lof
+      FROM mlo m JOIN lrd l ON l.id = m.id
+    )
+    SELECT e.id, round(l.lof, 4) AS lof,
+           CAST(CASE WHEN l.lof IS NULL OR l.lof > {_LOF_THR}
+                     THEN -1 ELSE 1 END AS INTEGER) AS verdict
+    FROM (SELECT id FROM eb) e LEFT JOIN lof l USING (id)
+"""
+
+
+@register("lof_embeddings", _LOF_SQL)
 def lof_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    out = approx_lof(emb, k=10, threshold=1.5, n_planes=3, dim=64)
+    out = approx_lof(
+        emb, k=_LOF_K, threshold=_LOF_THR, n_planes=_LOF_PLANES, dim=_LOF_DIM
+    )
     return out.select("id", r4(F.col("lof")).alias("lof"), "verdict")
 
 
@@ -77,7 +143,50 @@ def pm_prepare_features_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_sliding_buffer_events")  # rows-only: stateful stream
+# The stateful stream replay IS SQL-expressible for this fixture: ts
+# keys are strictly increasing per asset (rn/1e6 disambiguation), so
+# the deque replay equals a 20-row rolling window in event order.
+_STREAM_W, _STREAM_THR, _STREAM_TAKE = 20, 2.5, 500
+
+_STREAM_SQL = f"""
+    WITH e AS (
+      SELECT event_type AS asset_id, epoch(ts) AS ts0, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY epoch(ts), event_id) AS rn
+      FROM events
+    ),
+    f AS (
+      SELECT asset_id, ts0 + rn / 1e6 AS ts, value, rn
+      FROM e WHERE rn <= {_STREAM_TAKE}
+    ),
+    w AS (
+      SELECT asset_id, ts, rn, value,
+             avg(value) OVER win AS mu,
+             stddev_pop(value) OVER win AS sd
+      FROM f
+      WINDOW win AS (PARTITION BY asset_id ORDER BY rn
+                     ROWS BETWEEN {_STREAM_W - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT asset_id,
+           round(ts, 4) AS ts,
+           CASE WHEN rn < {_STREAM_W} THEN 'buffering' ELSE 'processed' END AS status,
+           CAST(least(rn, {_STREAM_W}) AS INTEGER) AS buffer_size,
+           CASE WHEN rn < {_STREAM_W} THEN NULL ELSE round(mu, 4) END AS win_mean,
+           CASE WHEN rn < {_STREAM_W} THEN NULL
+                ELSE round(abs((value - mu)
+                               / (CASE WHEN sd = 0 THEN 1.0 ELSE sd END)), 4)
+                END AS score,
+           CASE WHEN rn < {_STREAM_W} THEN NULL
+                ELSE CAST(CASE WHEN abs((value - mu)
+                                        / (CASE WHEN sd = 0 THEN 1.0 ELSE sd END))
+                                    > {_STREAM_THR}
+                               THEN -1 ELSE 1 END AS INTEGER)
+                END AS verdict
+    FROM w
+"""
+
+
+@register("streaming_sliding_buffer_events", _STREAM_SQL)
 def streaming_sliding_buffer_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replays 500 events per event_type through the REAL
     applyInPandasWithState operator (availableNow trigger, parquet
@@ -166,12 +275,161 @@ def dedup_salted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source", "fingerprint")
 
 
-@register("text_winnow_documents")  # rows-only: rolling hash not in SQL
+# Winnowing IS SQL: k-gram polynomial hashes mod 2^64 (HUGEINT
+# arithmetic with precomputed powers of the base), then the
+# RIGHTMOST minimum of each w-window — encoded as min over the
+# composite key h·2^32 + (2^32−1−p), which orders by (h asc, p desc).
+_WIN_K, _WIN_W = 8, 4
+_WIN_POWERS = [pow(1_000_003, _WIN_K - 1 - j, 1 << 64) for j in range(_WIN_K)]
+
+_WIN_HASH_SQL = " + ".join(
+    f"unicode(substring(norm, p + {j + 1}, 1)) * CAST('{_WIN_POWERS[j]}' AS HUGEINT)"
+    for j in range(_WIN_K)
+)
+
+_WINNOW_SQL = f"""
+    WITH t AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    hh AS (
+      SELECT doc_id,
+             unnest(range(0, length(norm) - {_WIN_K - 1})) AS p,
+             norm
+      FROM t WHERE length(norm) >= {_WIN_K}
+    ),
+    h AS (
+      SELECT doc_id, p,
+             ({_WIN_HASH_SQL}) % CAST('18446744073709551616' AS HUGEINT) AS hm
+      FROM hh
+    ),
+    nn AS (
+      SELECT doc_id, p, hm,
+             count(*) OVER (PARTITION BY doc_id) AS nh,
+             min(hm * 4294967296 + (4294967295 - p)) OVER
+               (PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS mc
+      FROM h
+    ),
+    picks AS (
+      -- long docs: rightmost min of each full w-window
+      SELECT DISTINCT doc_id,
+             CAST(4294967295 - (mc % 4294967296) AS BIGINT) AS pick
+      FROM nn WHERE nh >= {_WIN_W} AND p <= nh - {_WIN_W}
+      UNION
+      -- short docs (< w hashes): single LEFTMOST-minimum pick
+      SELECT doc_id, pick FROM (
+        SELECT h.doc_id, h.p AS pick,
+               row_number() OVER (PARTITION BY h.doc_id
+                                  ORDER BY h.hm, h.p) AS rn
+        FROM h JOIN (
+          SELECT doc_id FROM h GROUP BY doc_id HAVING count(*) < {_WIN_W}
+        ) s USING (doc_id)
+      ) WHERE rn = 1
+    )
+    SELECT h.doc_id AS id, CAST(h.p AS INTEGER) AS pos,
+           CAST(h.hm - CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS fp
+    FROM picks JOIN h ON h.doc_id = picks.doc_id AND h.p = picks.pick
+"""
+
+
+@register("text_winnow_documents", _WINNOW_SQL)
 def text_winnow_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anomaly_detection_toolkit_spark.operators.text import winnow_fingerprints
 
     df = load_table(spark, "documents", sf_dir)
-    return winnow_fingerprints(df, k=8, w=4)
+    return winnow_fingerprints(df, k=_WIN_K, w=_WIN_W)
+
+
+# --- op-42: bfill().fillna(0) assembly over a deterministic null mask ---
+
+_BFILL_SQL = """
+    WITH v AS (
+      SELECT event_id, event_type, ts,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id,
+           round(coalesce(
+             first_value(v IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+             0.0), 4) AS v_filled
+    FROM v
+"""
+
+
+@register("pm_backfill_events", _BFILL_SQL)
+def pm_backfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, "events", sf_dir).withColumn(
+        "v",
+        F.when(F.pmod(F.col("event_id"), 7) == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value").cast("double")),
+    )
+    out = pm.backfill_then_zero(df, ["v"], ["event_type"], ["ts", "event_id"])
+    return out.select("event_id", r4(F.col("v")).alias("v_filled"))
+
+
+# --- op-53: PMProcessPipeline with a z-score detector (SQL-expressible
+# because the ML models are absent → null channels, and the detector is
+# a closed-form fit + projection) ---
+
+_PIPE_SQL = """
+    WITH panel AS (
+      SELECT l_orderkey, l_linenumber,
+             avg(CAST(l_extendedprice AS DOUBLE)) AS price
+      FROM lineitem GROUP BY 1, 2
+    ),
+    s AS (SELECT avg(price) AS mu, stddev_pop(price) AS sigma FROM panel),
+    latest AS (
+      SELECT l_orderkey, l_linenumber, price,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber DESC) AS rn
+      FROM panel
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(NULL AS DOUBLE) AS rul_pred,
+           CAST(NULL AS INTEGER) AS failure_pred,
+           CAST(NULL AS DOUBLE) AS failure_proba,
+           round(abs((l.price - s.mu)
+                     / (CASE WHEN s.sigma = 0 OR s.sigma IS NULL
+                             THEN 1.0 ELSE s.sigma END)), 4) AS score,
+           CAST(CASE WHEN abs((l.price - s.mu)
+                              / (CASE WHEN s.sigma = 0 OR s.sigma IS NULL
+                                      THEN 1.0 ELSE s.sigma END)) > 3.0
+                     THEN -1 ELSE 1 END AS INTEGER) AS verdict
+    FROM latest l, s WHERE l.rn = 1
+"""
+
+
+@register("pm_process_pipeline_lineitem", _PIPE_SQL)
+def pm_process_pipeline_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op-53 through the real composite: latest-cycle selection, null
+    model channels (no RUL/classifier fitted), z-score anomaly verdict
+    on the per-cycle mean price. The panel is pre-aggregated so the
+    latest-cycle window has a unique order key (synthetic lineitem has
+    duplicate (orderkey, linenumber) rows)."""
+    from anomaly_detection_toolkit_spark.operators.pm_models import PMProcessPipeline
+    from anomaly_detection_toolkit_spark.operators.statistical import ZScoreDetector
+
+    panel = (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.avg(F.col("l_extendedprice").cast("double")).alias("price"))
+    )
+    det = ZScoreDetector(threshold=3.0).fit(panel, ["price"])
+    pipe = PMProcessPipeline(anomaly_detector=det)
+    results, _alerts = pipe.process(panel, "l_orderkey", "l_linenumber")
+    return results.select(
+        "l_orderkey",
+        "l_linenumber",
+        "rul_pred",
+        "failure_pred",
+        "failure_proba",
+        r4(F.col("score")).alias("score"),
+        "verdict",
+    )
 
 
 @register("pm_rul_model_lineitem")  # rows-only: RF training not in SQL

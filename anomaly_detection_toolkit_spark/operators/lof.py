@@ -77,7 +77,10 @@ def approx_lof(
         F.col("b.id").alias("nid"),
         F.sqrt(_sq_dist(F.col("a.vec"), F.col("b.vec"))).alias("d"),
     )
-    w = Window.partitionBy("id").orderBy(F.col("d").asc(), F.col("nid"))
+    # rank on round(d, 6) with id tie-break: float-summation order
+    # differs ~1ulp across engines/plans, and the DuckDB oracle must
+    # select the identical neighbor set (same trick as similarity.py)
+    w = Window.partitionBy("id").orderBy(F.round(F.col("d"), 6).asc(), F.col("nid"))
     knn = (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
