@@ -54,6 +54,10 @@ class CheckOutput:
 
 class Check:
     name: str = "check"
+    # True for checks that must see the ORIGINAL input including binary
+    # payload columns; everything else receives the suite runner's
+    # shared cached narrow projection (see runner.run_suite scan fusion)
+    needs_full_input: bool = False
 
     def run(self, df: DataFrame) -> CheckOutput:
         raise NotImplementedError
@@ -90,6 +94,8 @@ class SchemaCheck(Check):
     as a declarative contract."""
 
     name = "schema"
+    needs_full_input = True  # validates the binary column's type too
+    # (metadata-only: no scan happens either way)
 
     def __init__(self, expected: dict[str, str]):
         self.expected = expected
@@ -355,6 +361,7 @@ class PayloadCheck(Check):
     """
 
     name = "payload"
+    needs_full_input = True  # the one check that reads ``bytes``
 
     def __init__(
         self,

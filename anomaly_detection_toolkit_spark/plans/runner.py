@@ -37,6 +37,13 @@ class SuiteResult:
     violations: DataFrame
     metrics: DataFrame
     parts_checked: list[int]
+    cached: tuple[DataFrame, ...] = ()
+
+    def unpersist(self) -> None:
+        """Release every cache the suite run holds (call after the
+        outputs have been materialized/written)."""
+        for d in (self.violations, self.metrics, *self.cached):
+            d.unpersist()
 
 
 def _union_all(dfs: list[DataFrame], empty: DataFrame) -> DataFrame:
@@ -63,11 +70,36 @@ def run_suite(
     if parts is not None:
         df = df.filter(F.col(part_col).isin([int(p) for p in parts]))
 
-    all_parts = [r[0] for r in df.select(part_col).distinct().collect()]
+    # SCAN FUSION: every check except the payload decode reads only the
+    # narrow (non-binary) columns. Running each check against the raw
+    # input re-scans the fact table once per check (~8 passes for the
+    # default suite) — at 10^12 rows that is the dominant cost. Share
+    # ONE cached narrow projection instead: the binary payload column
+    # (the bulk of the bytes on disk) is pruned from it, so it is the
+    # smallest table that can feed stats/uniqueness/referential/drift,
+    # and the payload check alone scans the original input.
+    from pyspark.sql.types import BinaryType
+
+    narrow_cols = [
+        f.name for f in df.schema.fields if not isinstance(f.dataType, BinaryType)
+    ]
+    cached: tuple[DataFrame, ...] = ()
+    shared = df
+    if (
+        not df.is_cached  # already-persisted input: the columnar cache
+        # serves pruned scans directly; a second cache only adds cost
+        and len(narrow_cols) < len(df.schema.fields)
+        and any(not c.needs_full_input for c in checks)
+    ):
+        shared = df.select(*narrow_cols).persist()
+        cached = (shared,)
+
+    # the distinct-parts collect doubles as the cache-materializing pass
+    all_parts = [r[0] for r in shared.select(part_col).distinct().collect()]
 
     v_list, m_list = [], []
     for check in checks:
-        out = check.run(df)
+        out = check.run(df if check.needs_full_input else shared)
         v_list.append(out.violations)
         m_list.append(out.metrics)
     # persist the (sparse) violation rows: they feed both the verdict
@@ -100,7 +132,9 @@ def run_suite(
     )
     # global (part = -1) violations fail every listed partition's cell?
     # No — they are reported per check at part=-1 in the verdict table.
-    return SuiteResult(verdicts, violations, metrics, sorted(int(p) for p in all_parts))
+    return SuiteResult(
+        verdicts, violations, metrics, sorted(int(p) for p in all_parts), cached
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -196,4 +230,8 @@ def run_validation_job(
         out_df.write.mode("append").parquet(path)
         outputs[name] = path
     ledger.record(snap, result.parts_checked, outputs)
+    # outputs are materialized — release the shared narrow-projection
+    # cache (violations/metrics stay persisted for the caller)
+    for d in result.cached:
+        d.unpersist()
     return result

@@ -63,8 +63,7 @@ def bench_validation_suite(spark, img_path: str, runs: int = 2) -> tuple[float, 
         _noop_write(result.verdicts)
         _noop_write(result.metrics)
         best = min(best, time.perf_counter() - t0)
-        result.violations.unpersist()
-        result.metrics.unpersist()
+        result.unpersist()
     df.unpersist()
     return best, n_images
 

@@ -84,6 +84,46 @@ def test_drift_single_input_pass(spark):
     assert counts_plan.count("InMemoryTableScan") >= 5
 
 
+def test_suite_scan_fusion_reads_binary_once(spark, tmp_path):
+    """The suite's scan fusion: every non-payload check reads the ONE
+    shared cached narrow projection, so the binary payload column is
+    scanned from storage exactly once per suite run (the 100 TB cost
+    model — 7 checks must not mean 7 passes over the fact table)."""
+    from anomaly_detection_toolkit_spark.plans.checks import default_suite
+    from anomaly_detection_toolkit_spark.plans.runner import run_suite
+    from anomaly_detection_toolkit_spark.sources import images
+
+    d = str(tmp_path / "imgs")
+    images.write_images(spark, d, 300, n_parts=3)
+    df = spark.read.parquet(d)
+    result = run_suite(df, default_suite())
+    try:
+        assert result.cached, "narrow-projection cache not engaged"
+        plan = plan_of(result.violations)
+        scan_lines = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
+        assert sum("bytes" in ln for ln in scan_lines) == 1
+        # the narrow subtrees read the cache, not the file
+        assert plan.count("InMemoryTableScan") >= 6
+    finally:
+        result.unpersist()
+
+
+def test_suite_skips_second_cache_when_input_persisted(spark, tmp_path):
+    from anomaly_detection_toolkit_spark.plans.checks import default_suite
+    from anomaly_detection_toolkit_spark.plans.runner import run_suite
+    from anomaly_detection_toolkit_spark.sources import images
+
+    d = str(tmp_path / "imgs")
+    images.write_images(spark, d, 200, n_parts=2)
+    df = spark.read.parquet(d).persist()
+    try:
+        result = run_suite(df, default_suite())
+        assert result.cached == ()
+        result.unpersist()
+    finally:
+        df.unpersist()
+
+
 def test_ann_brute_force_broadcasts_queries(spark):
     from anomaly_detection_toolkit_spark.operators.similarity import brute_force_topk
 
