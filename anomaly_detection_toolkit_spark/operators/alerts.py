@@ -60,19 +60,18 @@ def _threshold_case(feature: str, thresholds: dict[str, dict[str, float]]) -> Co
     return expr
 
 
-def check_thresholds(
+def alert_rows(
     df: DataFrame,
     thresholds: dict[str, dict[str, float]],
     asset_col: str,
     entity_cols: list[str] | None = None,
-    escalation: dict[str, dict[str, int]] | None = None,
 ) -> DataFrame:
-    """Alert rows for every threshold breach.
+    """Stateless alert-row stage: unpivot + level + message, no
+    counts. Works on batch AND streaming DataFrames (no window/agg) —
+    the streaming escalation operator builds on this.
 
     Output: (asset_id, *entity_cols, feature, value, raw_level,
-    level, threshold, key_count, message). ``raw_level`` is the
-    breached level before escalation; ``level`` after.
-    """
+    threshold, message)."""
     entity_cols = entity_cols or []
     features = list(thresholds)
     stack_args = ", ".join(f"'{f}', CAST({f} AS DOUBLE)" for f in features)
@@ -88,7 +87,7 @@ def check_thresholds(
         level_expr = F.coalesce(_level_case(f_name, thresholds), level_expr)
         thr_expr = F.coalesce(_threshold_case(f_name, thresholds), thr_expr)
 
-    alerts = (
+    return (
         un.withColumn("raw_level", level_expr)
         .withColumn("threshold", thr_expr)
         .filter(F.col("raw_level").isNotNull())
@@ -103,9 +102,11 @@ def check_thresholds(
             ),
         )
     )
-    key_w = Window.partitionBy("asset_id", "feature")
-    alerts = alerts.withColumn("key_count", F.count(F.lit(1)).over(key_w))
 
+
+def escalated_level(escalation: dict[str, dict[str, int]] | None) -> Column:
+    """Post-escalation level from (raw_level, key_count) — shared by
+    the batch window path and the streaming running-count path."""
     level_out: Column = F.col("raw_level")
     for lvl, rules in (escalation or {}).items():
         if "min_count" in rules and lvl in _ESCALATE_NEXT:
@@ -114,7 +115,27 @@ def check_thresholds(
                 & (F.col("key_count") >= rules["min_count"]),
                 F.lit(_ESCALATE_NEXT[lvl]),
             ).otherwise(level_out)
-    return alerts.withColumn("level", level_out).select(
+    return level_out
+
+
+def check_thresholds(
+    df: DataFrame,
+    thresholds: dict[str, dict[str, float]],
+    asset_col: str,
+    entity_cols: list[str] | None = None,
+    escalation: dict[str, dict[str, int]] | None = None,
+) -> DataFrame:
+    """Alert rows for every threshold breach.
+
+    Output: (asset_id, *entity_cols, feature, value, raw_level,
+    level, threshold, key_count, message). ``raw_level`` is the
+    breached level before escalation; ``level`` after.
+    """
+    entity_cols = entity_cols or []
+    alerts = alert_rows(df, thresholds, asset_col, entity_cols)
+    key_w = Window.partitionBy("asset_id", "feature")
+    alerts = alerts.withColumn("key_count", F.count(F.lit(1)).over(key_w))
+    return alerts.withColumn("level", escalated_level(escalation)).select(
         "asset_id",
         *entity_cols,
         "feature",

@@ -50,6 +50,19 @@ def _process_group(
     late_delay_s: float | None = None,
 ) -> Iterator[pd.DataFrame]:
     (asset_id,) = key
+    if state.hasTimedOut:
+        # idle-key eviction: the watermark has passed this asset's
+        # (max_ts + TTL) timeout — drop the buffer so the state store
+        # stays bounded under asset churn. A later point for this
+        # asset starts a fresh buffer ('buffering' from size 1).
+        state.remove()
+        yield pd.DataFrame(
+            {k: [] for k in (
+                "asset_id", "ts", "status", "buffer_size",
+                "win_mean", "win_std", "score", "verdict",
+            )}
+        )
+        return
     if state.exists:
         tss, vals, max_ts = state.get
         tss, vals = list(tss), list(vals)
@@ -93,6 +106,13 @@ def _process_group(
             out["score"].append(score)
             out["verdict"].append(-1 if score > threshold else 1)
     state.update((tss, vals, max_ts))
+    if late_delay_s is not None:
+        # EventTimeTimeout: evict this asset's buffer once the global
+        # watermark passes (its newest point + TTL). Clamped above the
+        # current watermark — Spark rejects timeouts at/behind it.
+        wm_ms = state.getCurrentWatermarkMs()
+        timeout_ms = max(int((max_ts + late_delay_s) * 1000), wm_ms + 1)
+        state.setTimeoutTimestamp(timeout_ms)
     yield pd.DataFrame(out)
 
 
@@ -115,11 +135,15 @@ def sliding_buffer_scores(
     delay are DROPPED before they reach the buffer — the documented
     upgrade over the reference's deque, which appends arbitrarily late
     points in arrival order (``predictive_maintenance.py:1153-1184``).
-    The drop is enforced inside the state function (Spark's watermark
-    does not auto-filter input for applyInPandasWithState; the
-    ``withWatermark`` declaration is still attached so the engine can
-    bound state retention). Without a delay the operator reproduces
-    the reference's fold-in-arrival-order behaviour exactly.
+    The drop is enforced inside the state function for the PER-ASSET
+    high-water mark; additionally, because the operator runs with
+    ``EventTimeTimeout`` when a watermark is set, Spark itself
+    late-filters input rows at/behind the GLOBAL watermark before
+    they reach the state fn. State for assets idle past
+    (their newest point + delay) is evicted via the event-time
+    timeout, bounding the state store under asset churn. Without a
+    delay the operator reproduces the reference's
+    fold-in-arrival-order behaviour exactly (NoTimeout, no eviction).
     """
     from pyspark.sql import functions as F
 
@@ -142,12 +166,21 @@ def sliding_buffer_scores(
     def fn(key, pdfs, state):
         return _process_group(key, pdfs, state, window_size, threshold, late_delay_s)
 
+    # With a watermark, per-asset state carries an event-time TTL —
+    # idle assets are evicted once the watermark passes their newest
+    # point + delay, keeping the state store bounded under asset
+    # churn. Without one there is no watermark to time out against.
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if watermark_delay is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return src.groupBy("asset_id").applyInPandasWithState(
         fn,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 

@@ -157,3 +157,148 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert 100.0 not in tss  # late row dropped by the watermark
     assert 1010.0 in tss  # on-time row from the same batch survives
     assert len(rows) == 11
+
+
+def _run_files(spark, tmp_path, batches, build, name):
+    """Write each batch as one file with increasing mtimes, run the
+    streaming query `build(stream)` with availableNow, return rows."""
+    import os as _os
+    import time as _time
+
+    src = tmp_path / "in"
+    src.mkdir()
+    base = _time.time() - 3600
+    for fi, rows in enumerate(batches):
+        p = src / f"part{fi}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        _os.utime(p, (base + fi * 60, base + fi * 60))
+    schema = ", ".join(
+        f"{k} {'string' if isinstance(v, str) else 'double'}"
+        for k, v in batches[0][0].items()
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = build(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_event_time_ttl_evicts_idle_asset(spark, tmp_path):
+    """Asset A fills its buffer, then goes idle while B advances the
+    watermark far past A's (max_ts + delay): A's state must be
+    evicted, so A's comeback point starts a FRESH buffer
+    ('buffering', size 1) instead of scoring against stale state."""
+    pt = lambda a, ts, v: {"asset_id": a, "ts": ts, "value": v}
+    # NB: with EventTimeTimeout Spark late-filters input rows against
+    # the global watermark before they reach the state fn, and the
+    # initial watermark is epoch 0 — keep event times well above 0.
+    batches = [
+        [pt("A", 100.0 + i, 1.0) for i in range(5)],     # A warm (full at 5)
+        [pt("B", 1000.0 + i, 1.0) for i in range(5)],    # watermark -> ~994
+        [pt("B", 1010.0, 1.0)],                           # batch with no A data: A times out
+        [pt("A", 1011.0, 7.0)],                           # A returns after eviction
+    ]
+    rows = _run_files(
+        spark,
+        tmp_path,
+        batches,
+        lambda s: sliding_buffer_scores(
+            s, window_size=5, threshold=3.0, watermark_delay="10 seconds"
+        ),
+        "ttlbuf",
+    )
+    comeback = [r for r in rows if r.asset_id == "A" and r.ts == 1011.0]
+    assert comeback, "comeback row missing"
+    # without eviction the stale 5-point buffer would make this row
+    # 'processed' with buffer_size 5
+    assert comeback[0].status == "buffering"
+    assert comeback[0].buffer_size == 1
+    # the warm phase itself behaved normally before eviction
+    warm = [r for r in rows if r.asset_id == "A" and r.ts == 104.0]
+    assert warm[0].status == "processed"
+
+
+def test_streaming_escalation_single_batch_matches_batch_operator(spark, tmp_path):
+    from anomaly_detection_toolkit_spark.operators.alerts import check_thresholds
+    from anomaly_detection_toolkit_spark.streaming.escalation import (
+        streaming_check_thresholds,
+    )
+
+    thresholds = {"temp": {"warning": 50.0, "critical": 80.0}}
+    escalation = {"warning": {"min_count": 3}}
+    data = [
+        {"asset_id": "M1", "temp": 55.0},
+        {"asset_id": "M1", "temp": 60.0},
+        {"asset_id": "M1", "temp": 65.0},  # 3rd warning -> all escalate
+        {"asset_id": "M2", "temp": 85.0},  # critical, no rule
+        {"asset_id": "M2", "temp": 10.0},  # no breach
+    ]
+    got = _run_files(
+        spark,
+        tmp_path,
+        [data],
+        lambda s: streaming_check_thresholds(
+            s, thresholds, "asset_id", escalation=escalation
+        ),
+        "esc1",
+    )
+    batch_df = spark.createDataFrame(data)
+    want = check_thresholds(
+        batch_df, thresholds, "asset_id", escalation=escalation
+    ).collect()
+    key = lambda r: (r.asset_id, r.feature, r.value)
+    got_m = {key(r): r for r in got}
+    assert len(got) == len(want) == 4
+    for w in want:
+        g = got_m[key(w)]
+        assert (g.raw_level, g.level, g.key_count, g.message) == (
+            w.raw_level,
+            w.level,
+            w.key_count,
+            w.message,
+        )
+    assert {r.level for r in got if r.asset_id == "M1"} == {"critical"}
+
+
+def test_streaming_escalation_running_count_across_batches(spark, tmp_path):
+    """The running count is CUMULATIVE across micro-batches (the
+    reference's long-lived alert_counts dict, pm.py:560-596): batch 1
+    raises 2 warnings (below min_count=3), batch 2's single warning
+    tips the key to 3 and escalates — but only batch 2's row, since
+    batch 1 was already emitted (reference escalates per call)."""
+    from anomaly_detection_toolkit_spark.streaming.escalation import (
+        streaming_check_thresholds,
+    )
+
+    thresholds = {"temp": {"warning": 50.0, "critical": 80.0}}
+    escalation = {"warning": {"min_count": 3}}
+    batches = [
+        [{"asset_id": "M1", "temp": 55.0}, {"asset_id": "M1", "temp": 60.0}],
+        [{"asset_id": "M1", "temp": 65.0}],
+    ]
+    rows = _run_files(
+        spark,
+        tmp_path,
+        batches,
+        lambda s: streaming_check_thresholds(
+            s, thresholds, "asset_id", escalation=escalation
+        ),
+        "esc2",
+    )
+    by_val = {r.value: r for r in rows}
+    assert by_val[55.0].level == "warning" and by_val[55.0].key_count == 2
+    assert by_val[60.0].level == "warning" and by_val[60.0].key_count == 2
+    assert by_val[65.0].level == "critical" and by_val[65.0].key_count == 3
