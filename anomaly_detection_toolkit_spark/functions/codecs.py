@@ -7,6 +7,11 @@ own codecs for the north-star image table (BASELINE input_hint:
 - ``raw``    : magic + little-endian (w, h, c) + raw uint8 pixels
 - ``ppm``    : binary P6 (public Netpbm format)
 - ``bmp``    : 24-bit uncompressed BMP (BGR, bottom-up, 4-byte row pad)
+- ``png``    : real PNG (RFC 2083), 8-bit RGB truecolor, non-interlaced
+  — stdlib zlib inflate/deflate + all five row filters (None/Sub/Up/
+  Average/Paeth) implemented with numpy. The encoder emits filter-0
+  rows; the decoder accepts any spec-conforming filter sequence and
+  multiple IDAT chunks, and verifies chunk CRCs.
 - ``lossyq`` : deterministic lossy codec — 6-bit/channel quantization
   + zlib. Midpoint dequantization bounds per-channel error to ±2
   (MSE ≤ ~1.7 → PSNR ≥ ~45 dB), so the PSNR≥40dB payload invariant is
@@ -29,7 +34,9 @@ import numpy as np
 MAGIC_RAW = b"ADTR"
 MAGIC_LSQ = b"ADTQ"
 
-FORMATS = ("raw", "ppm", "bmp", "lossyq")
+FORMATS = ("raw", "ppm", "bmp", "png", "lossyq")
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 class CodecError(ValueError):
@@ -92,10 +99,37 @@ def encode_lossyq(img: np.ndarray) -> bytes:
     return MAGIC_LSQ + struct.pack("<HHB", w, h, c) + payload
 
 
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """8-bit RGB truecolor, non-interlaced, filter-0 rows."""
+    h, w, c = img.shape
+    if c != 3:
+        raise CodecError("png codec supports 8-bit RGB only")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)  # filter byte 0 per row
+    raw[:, 1:] = img.astype(np.uint8).reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), level=6)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 _ENCODERS = {
     "raw": encode_raw,
     "ppm": encode_ppm,
     "bmp": encode_bmp,
+    "png": encode_png,
     "lossyq": encode_lossyq,
 }
 
@@ -173,10 +207,103 @@ def decode_lossyq(buf: bytes) -> np.ndarray:
     return ((body.reshape(h, w, c).astype(np.uint8) << 2) | 2).astype(np.uint8)
 
 
+def _png_unfilter(data: bytes, w: int, h: int) -> np.ndarray:
+    """Reverse the per-row filters (PNG spec §6). Sub is a per-channel
+    modular cumsum and Up a vectorized add; Average/Paeth recurse on
+    the previous pixel so they scan x with 3-wide vector ops."""
+    stride = w * 3
+    if len(data) != h * (stride + 1):
+        raise CodecError(
+            f"png data size mismatch: {len(data)} != {h * (stride + 1)}"
+        )
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(h, stride + 1)
+    filters = arr[:, 0]
+    rows = arr[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        row = rows[y]
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:  # None
+            out[y] = row
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-3]
+            out[y] = (
+                row.reshape(w, 3).astype(np.uint64).cumsum(axis=0) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up
+            out[y] = row + prev  # uint8 wraps mod 256
+        elif f == 3:  # Average
+            r = out[y]
+            up = prev.reshape(w, 3).astype(np.uint16)
+            rw = row.reshape(w, 3).astype(np.uint16)
+            left = np.zeros(3, dtype=np.uint16)
+            rv = r.reshape(w, 3)
+            for x in range(w):
+                left = (rw[x] + ((left + up[x]) >> 1)) & 0xFF
+                rv[x] = left
+        elif f == 4:  # Paeth
+            r = out[y]
+            up = prev.reshape(w, 3).astype(np.int16)
+            rw = row.reshape(w, 3).astype(np.int16)
+            rv = r.reshape(w, 3)
+            left = np.zeros(3, dtype=np.int16)
+            ul = np.zeros(3, dtype=np.int16)
+            for x in range(w):
+                p = left + up[x] - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - up[x]), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up[x], ul)
+                )
+                left = (rw[x] + pred) & 0xFF
+                rv[x] = left
+                ul = up[x]
+        else:
+            raise CodecError(f"bad png filter {f}")
+    return out.reshape(h, w, 3)
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    if buf[:8] != PNG_SIG:
+        raise CodecError("bad png signature")
+    pos = 8
+    ihdr: tuple | None = None
+    idat = bytearray()
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack(">I", buf[pos : pos + 4])
+        tag = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(buf):
+            raise CodecError("truncated png chunk")
+        (crc,) = struct.unpack(">I", buf[pos + 8 + length : pos + 12 + length])
+        if crc != zlib.crc32(tag + data) & 0xFFFFFFFF:
+            raise CodecError(f"png crc mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise CodecError("png missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise CodecError(
+            "only 8-bit RGB non-interlaced png supported "
+            f"(depth={depth}, color={ctype}, interlace={interlace})"
+        )
+    try:
+        data = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise CodecError(f"png zlib: {e}") from None
+    return _png_unfilter(data, w, h)
+
+
 _DECODERS = {
     "raw": decode_raw,
     "ppm": decode_ppm,
     "bmp": decode_bmp,
+    "png": decode_png,
     "lossyq": decode_lossyq,
 }
 
@@ -191,7 +318,7 @@ def decode(buf: bytes | bytearray | memoryview | None, fmt: str) -> np.ndarray:
     return dec(bytes(buf))
 
 
-LOSSLESS = frozenset({"raw", "ppm", "bmp"})
+LOSSLESS = frozenset({"raw", "ppm", "bmp", "png"})
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -92,3 +92,103 @@ def test_payload_consistency_on_clean_rows(spark):
         ref = images.gen_pixels(images.id_num(r["image_id"]), int(r["w"]), int(r["h"]))
         assert codecs.psnr(ref, dec) >= 40.0
         assert r["caption"] == images.caption_of(r["image_id"])
+
+
+def _png_with_filters(img, filters):
+    """Hand-build a PNG whose rows use the given filter types, so the
+    decoder's unfilter paths (Sub/Up/Average/Paeth) are exercised —
+    our encoder only emits filter 0."""
+    import struct
+    import zlib as _zlib
+
+    h, w, _ = img.shape
+    px = img.astype(np.int32)
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y % len(filters)]
+        raw.append(f)
+        cur = px[y]
+        prev = px[y - 1] if y else np.zeros_like(cur)
+        left = np.zeros((w, 3), dtype=np.int32)
+        left[1:] = cur[:-1]
+        ul = np.zeros((w, 3), dtype=np.int32)
+        ul[1:] = prev[:-1]
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - ((left + prev) >> 1)
+        else:  # paeth
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = cur - pred
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        codecs.PNG_SIG
+        + codecs._png_chunk(b"IHDR", ihdr)
+        + codecs._png_chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + codecs._png_chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filters", [[1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_decodes_all_filter_types(img, filters):
+    buf = _png_with_filters(img, filters)
+    np.testing.assert_array_equal(codecs.decode(buf, "png"), img)
+
+
+def test_png_rejects_bad_crc_and_header(img):
+    buf = bytearray(codecs.encode(img, "png"))
+    buf[40] ^= 0xFF  # flip a byte inside IDAT -> CRC mismatch
+    with pytest.raises(codecs.CodecError):
+        codecs.decode(bytes(buf), "png")
+    with pytest.raises(codecs.CodecError):
+        codecs.decode(b"\x89PNG\r\n\x1a\njunk", "png")
+    # grayscale / non-8-bit headers are refused, not misdecoded
+    import struct
+    import zlib as _zlib
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)  # color type 0
+    gray = (
+        codecs.PNG_SIG
+        + codecs._png_chunk(b"IHDR", ihdr)
+        + codecs._png_chunk(b"IDAT", _zlib.compress(b"\x00" * 20))
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(codecs.CodecError):
+        codecs.decode(gray, "png")
+
+
+def test_png_multiple_idat_chunks(img):
+    import struct
+
+    buf = codecs.encode(img, "png")
+    # split the single IDAT into two chunks
+    pos = 8
+    parts = {}
+    order = []
+    while pos + 8 <= len(buf):
+        (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+        tag = buf[pos + 4 : pos + 8]
+        parts[tag] = buf[pos + 8 : pos + 8 + ln]
+        order.append(tag)
+        pos += 12 + ln
+        if tag == b"IEND":
+            break
+    idat = parts[b"IDAT"]
+    mid = len(idat) // 2
+    rebuilt = (
+        codecs.PNG_SIG
+        + codecs._png_chunk(b"IHDR", parts[b"IHDR"])
+        + codecs._png_chunk(b"IDAT", idat[:mid])
+        + codecs._png_chunk(b"IDAT", idat[mid:])
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(codecs.decode(rebuilt, "png"), img)

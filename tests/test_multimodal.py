@@ -59,7 +59,9 @@ def test_audio_features_fake_codec(spark):
         ("a1", mm.encode_fake_pcm16(tone), "fake_pcm16"),
         ("a2", mm.encode_fake_pcm16(np.zeros(100)), "fake_pcm16"),
         ("a3", b"FPCMxxxx", "fake_pcm16"),  # truncated
-        ("a4", b"whatever", "wav"),  # stubbed real format
+        ("a4", b"whatever", "wav"),  # malformed RIFF
+        ("a5", mm.encode_wav(tone), "wav"),  # real RIFF/WAVE PCM16
+        ("a6", b"ID3\x03junk", "mp3"),  # still-stubbed format
     ]
     df = spark.createDataFrame(rows, "id string, bytes binary, fmt string")
     out = {r.id: r for r in mm.audio_features(df, "id", "bytes", "fmt").collect()}
@@ -69,8 +71,41 @@ def test_audio_features_fake_codec(spark):
     assert a1.zcr == pytest.approx(2 * 440 / 16000, rel=0.01)
     assert out["a2"].ok and out["a2"].rms == 0.0
     assert not out["a3"].ok
-    # the wav stub must surface as a failed row, not a job abort
-    assert not out["a4"].ok and "external library" in out["a4"].err
+    # malformed wav surfaces as a failed row, not a job abort
+    assert not out["a4"].ok and "bad wav" in out["a4"].err
+    # real RIFF wav decodes and matches the tone's statistics
+    a5 = out["a5"]
+    assert a5.ok and a5.rate == 16000 and a5.duration_s == pytest.approx(1.0)
+    assert a5.rms == pytest.approx(0.5 / np.sqrt(2), rel=1e-3)
+    assert a5.zcr == pytest.approx(2 * 440 / 16000, rel=0.01)
+    # the mp3 stub path remains a failed row
+    assert not out["a6"].ok and "external library" in out["a6"].err
+
+
+def test_wav_roundtrip_and_mixdown():
+    rng = np.random.default_rng(11)
+    mono = rng.uniform(-0.9, 0.9, 4000)
+    dec, rate = mm.decode_wav(mm.encode_wav(mono, rate=8000))
+    assert rate == 8000
+    np.testing.assert_allclose(dec, mono, atol=1.0 / 32767)
+    # stereo mixes down to the channel mean
+    stereo = np.stack([mono, -mono], axis=1)
+    dec2, _ = mm.decode_wav(mm.encode_wav(stereo, rate=8000, channels=2))
+    np.testing.assert_allclose(dec2, np.zeros_like(mono), atol=1.0 / 32767)
+    # 8-bit PCM path: hand-build via the stdlib wave module
+    import io
+    import wave as _wave
+
+    bio = io.BytesIO()
+    with _wave.open(bio, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(4000)
+        u8 = np.clip(mono * 127.0 + 128.0, 0, 255).astype(np.uint8)
+        wf.writeframes(u8.tobytes())
+    dec3, rate3 = mm.decode_wav(bio.getvalue())
+    assert rate3 == 4000
+    np.testing.assert_allclose(dec3, mono, atol=1.5 / 127)
 
 
 def test_video_frame_sampling(spark):
