@@ -6,8 +6,12 @@ wavelet.py`` WITHOUT PyWavelets (absent from the target env, SURVEY
 filter bank (db4 / haar) with **periodized** boundary handling —
 perfect reconstruction is exact (tested to 1e-10) and detail lengths
 are exactly ``ceil(n/2^level)``. The reference uses pywt's symmetric
-extension, so coefficient values differ at series boundaries; the
-*operator semantics* are preserved verbatim:
+extension; pass ``mode="symmetric"`` for exact pywt boundary parity
+(half-sample symmetric extension, ``floor((n+F-1)/2)`` coefficient
+lengths, pywt's ``dec_hi`` sign convention). The default stays
+``mode="periodization"``, whose orthonormal-perfect-reconstruction
+plan the DuckDB oracles pin. The *operator semantics* are preserved
+verbatim in both modes:
 
 - denoise: universal threshold σ·√(2·ln n) with σ = MAD of the
   finest detail / 0.6745, soft/hard thresholding of detail levels
@@ -88,13 +92,75 @@ def _idwt_step(a: np.ndarray, d: np.ndarray, lo: np.ndarray, hi: np.ndarray, n_o
     return out[:n_out]
 
 
+# ---------------------------------------------------------------------------
+# pywt-parity symmetric-extension mode
+# ---------------------------------------------------------------------------
+
+
+def _pywt_filters(wavelet: str) -> tuple[np.ndarray, np.ndarray]:
+    """pywt's (dec_lo, dec_hi): dec_hi[k] = (-1)^(k+1) · dec_lo[F-1-k]
+    — the opposite sign of this module's periodized QMF convention,
+    so symmetric-mode detail coefficients match pywt literally."""
+    if wavelet not in DEC_LO:
+        raise ValueError(f"unsupported wavelet {wavelet!r}; available: {sorted(DEC_LO)}")
+    lo = DEC_LO[wavelet]
+    k = np.arange(len(lo))
+    hi = ((-1.0) ** (k + 1)) * lo[::-1]
+    return lo, hi
+
+
+def _sym_index(m: np.ndarray, n: int) -> np.ndarray:
+    """Half-sample symmetric extension index map (pywt 'symmetric'):
+    … x1 x0 | x0 x1 … xn-1 | xn-1 xn-2 …, period 2n."""
+    p = np.mod(m, 2 * n)
+    return np.where(p < n, p, 2 * n - 1 - p)
+
+
+def _dwt_step_sym(x: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One pywt-convention analysis step with symmetric extension:
+    a[o] = Σ_j x_ext[2o+1-j] · lo[j], out_len = floor((n+F-1)/2)."""
+    n, f = len(x), len(lo)
+    out_len = (n + f - 1) // 2
+    m = 2 * np.arange(out_len)[:, None] + 1 - np.arange(f)[None, :]
+    xs = x[_sym_index(m, n)]
+    return xs @ lo, xs @ hi
+
+
+def _idwt_step_sym(a: np.ndarray, d: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """pywt idwt: upsample-by-2, full convolution with the reversed
+    (reconstruction) filters, sum, trim F-2 each side →
+    rec_len = 2·len(a) - F + 2."""
+    f = len(lo)
+    rec_lo, rec_hi = lo[::-1], hi[::-1]
+    up_a = np.zeros(2 * len(a))
+    up_a[::2] = a
+    up_d = np.zeros(2 * len(d))
+    up_d[::2] = d
+    full = np.convolve(up_a, rec_lo) + np.convolve(up_d, rec_hi)
+    rec_len = 2 * len(a) - f + 2
+    return full[f - 2 : f - 2 + rec_len]
+
+
 def wavedec(
-    x: np.ndarray, wavelet: str = "db4", level: int = 5
+    x: np.ndarray, wavelet: str = "db4", level: int = 5, mode: str = "periodization"
 ) -> tuple[list[np.ndarray], list[int]]:
     """([approx, detail_level, ..., detail_1], input lengths per
     step) — coefficient ordering like pywt.wavedec (coarsest detail
-    first, finest last); the lengths drive exact inverse trimming."""
-    lo, hi = _filters(wavelet)
+    first, finest last); the lengths drive exact inverse trimming.
+
+    ``mode="periodization"`` (default): this module's orthonormal
+    periodized bank. ``mode="symmetric"``: pywt-parity half-sample
+    symmetric extension (``/root/reference/src/
+    anomaly_detection_toolkit/wavelet.py:31-58`` uses pywt defaults,
+    whose default mode is symmetric)."""
+    if mode == "symmetric":
+        lo, hi = _pywt_filters(wavelet)
+        step = _dwt_step_sym
+    elif mode == "periodization":
+        lo, hi = _filters(wavelet)
+        step = _dwt_step
+    else:
+        raise ValueError(f"mode must be periodization/symmetric, got {mode!r}")
     x = np.asarray(x, dtype=np.float64)
     details: list[np.ndarray] = []
     a = x
@@ -103,16 +169,25 @@ def wavedec(
         if len(a) < 2:
             break
         lengths.append(len(a))
-        a, d = _dwt_step(a, lo, hi)
+        a, d = step(a, lo, hi)
         details.append(d)
     return [a] + details[::-1], lengths
 
 
-def waverec(coeffs_and_lengths, wavelet: str = "db4") -> np.ndarray:
+def waverec(coeffs_and_lengths, wavelet: str = "db4", mode: str = "periodization") -> np.ndarray:
     coeffs, lengths = coeffs_and_lengths
-    lo, hi = _filters(wavelet)
     a = coeffs[0]
     details = coeffs[1:]
+    if mode == "symmetric":
+        lo, hi = _pywt_filters(wavelet)
+        for d, n_out in zip(details, lengths[::-1]):
+            if len(a) > len(d):  # pywt waverec length-mismatch trim
+                a = a[: len(d)]
+            a = _idwt_step_sym(a, d, lo, hi)
+            if len(a) > n_out:
+                a = a[:n_out]
+        return a
+    lo, hi = _filters(wavelet)
     for d, n_out in zip(details, lengths[::-1]):
         a = _idwt_step(a, d, lo, hi, n_out)
     return a
@@ -127,22 +202,30 @@ def soft_hard_threshold(c: np.ndarray, t: float, mode: str) -> np.ndarray:
 
 
 def denoise_series(
-    x: np.ndarray, wavelet: str = "db4", level: int = 5, mode: str = "soft"
+    x: np.ndarray,
+    wavelet: str = "db4",
+    level: int = 5,
+    mode: str = "soft",
+    ext_mode: str = "periodization",
 ) -> np.ndarray:
     """Universal-threshold wavelet denoising (``wavelet.py:31-58``)."""
-    coeffs, lengths = wavedec(x, wavelet, level)
+    coeffs, lengths = wavedec(x, wavelet, level, mode=ext_mode)
     finest = coeffs[-1]
     sigma = np.median(np.abs(finest)) / 0.6745 if len(finest) else 0.0
     t = sigma * np.sqrt(2.0 * np.log(max(len(x), 2)))
     thresh = [coeffs[0]] + [soft_hard_threshold(c, t, mode) for c in coeffs[1:]]
-    return waverec((thresh, lengths), wavelet)[: len(x)]
+    return waverec((thresh, lengths), wavelet, mode=ext_mode)[: len(x)]
 
 
 def score_series(
-    x: np.ndarray, wavelet: str = "db4", level: int = 5, threshold_factor: float = 3.0
+    x: np.ndarray,
+    wavelet: str = "db4",
+    level: int = 5,
+    threshold_factor: float = 3.0,
+    ext_mode: str = "periodization",
 ) -> np.ndarray:
     """Per-sample anomaly scores (``wavelet.py:133-195``)."""
-    coeffs, _ = wavedec(x, wavelet, level)
+    coeffs, _ = wavedec(x, wavelet, level, mode=ext_mode)
     scores = np.zeros(len(x))
     for detail in coeffs[1:]:
         if len(detail) == 0:
@@ -202,6 +285,7 @@ def denoise(
     wavelet: str = "db4",
     level: int = 5,
     mode: str = "soft",
+    ext_mode: str = "periodization",
 ) -> DataFrame:
     """Per-series denoising via grouped-map applyInPandas.
 
@@ -211,7 +295,7 @@ def denoise(
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col)
         x = pdf[value_col].to_numpy(dtype=np.float64)
-        den = denoise_series(x, wavelet, level, mode)
+        den = denoise_series(x, wavelet, level, mode, ext_mode)
         return pd.DataFrame(
             {
                 series_col: pdf[series_col].astype(str),
@@ -232,6 +316,7 @@ def detect(
     wavelet: str = "db4",
     level: int = 5,
     threshold_factor: float = 3.0,
+    ext_mode: str = "periodization",
 ) -> DataFrame:
     """Per-series wavelet anomaly detection via applyInPandas.
 
@@ -244,7 +329,7 @@ def detect(
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col)
         x = pdf[value_col].to_numpy(dtype=np.float64)
-        scores = score_series(x, wavelet, level, threshold_factor)
+        scores = score_series(x, wavelet, level, threshold_factor, ext_mode)
         verdicts, _ = predict_series(scores)
         return pd.DataFrame(
             {
@@ -266,6 +351,7 @@ def coefficients(
     value_col: str,
     wavelet: str = "db4",
     level: int = 5,
+    ext_mode: str = "periodization",
 ) -> DataFrame:
     """op-28 (``wavelet.py:197-221``): expose the DWT decomposition
     per series as rows (series, kind, lvl, idx, coeff) — 'approx' plus
@@ -278,7 +364,7 @@ def coefficients(
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col)
         x = pdf[value_col].to_numpy(dtype=np.float64)
-        coeffs, _ = wavedec(x, wavelet, level)
+        coeffs, _ = wavedec(x, wavelet, level, mode=ext_mode)
         sid = str(pdf[series_col].iloc[0])
         rows = []
         for i, c in enumerate(coeffs[0]):

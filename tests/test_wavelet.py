@@ -137,3 +137,114 @@ def test_spark_cwt_rows(spark):
     want = wv.cwt_morlet(noisy, range(1, 5))
     got_s1 = sorted(((r.idx, r.coeff) for r in out if r.scale == 1))
     np.testing.assert_allclose([c for _, c in got_s1], want[0], atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# pywt-parity symmetric-extension mode (VERDICT r1 item 8)
+# ---------------------------------------------------------------------------
+
+
+class TestSymmetricMode:
+    def test_haar_matches_pywt_goldens(self):
+        """Literal pywt.dwt outputs (mode='symmetric', the pywt
+        default): cA=(x0+x1)/sqrt2 pairs, odd tail mirrored."""
+        c, _ = wv.wavedec(np.array([1.0, 2, 3, 4]), "haar", level=1, mode="symmetric")
+        np.testing.assert_allclose(c[0], [2.12132034, 4.94974747], atol=1e-8)
+        np.testing.assert_allclose(c[1], [-0.70710678, -0.70710678], atol=1e-8)
+        c, _ = wv.wavedec(np.array([1.0, 2, 3, 4, 5]), "haar", level=1, mode="symmetric")
+        np.testing.assert_allclose(c[0], [2.12132034, 4.94974747, 7.07106781], atol=1e-8)
+        np.testing.assert_allclose(c[1], [-0.70710678, -0.70710678, 0.0], atol=1e-8)
+        c, _ = wv.wavedec(np.array([1.0, 2, 3]), "haar", level=1, mode="symmetric")
+        np.testing.assert_allclose(c[0], [2.12132034, 4.24264069], atol=1e-8)
+        np.testing.assert_allclose(c[1], [-0.70710678, 0.0], atol=1e-8)
+
+    def test_coeff_lengths_match_pywt_formula(self):
+        """pywt dwt_coeff_len = floor((n + F - 1) / 2) per level."""
+        for n in (16, 17, 37, 100, 101):
+            x = np.arange(n, dtype=float)
+            c, lengths = wv.wavedec(x, "db4", level=3, mode="symmetric")
+            m = n
+            for li in range(3):
+                want = (m + 8 - 1) // 2
+                assert len(c[-(li + 1)]) == want, (n, li)
+                m = want
+            assert len(c[0]) == m
+
+    @pytest.mark.parametrize("wavelet", ["haar", "db4"])
+    @pytest.mark.parametrize("n", [16, 17, 37, 100, 101])
+    def test_perfect_reconstruction(self, wavelet, n):
+        rng = np.random.default_rng(n)
+        x = rng.normal(size=n)
+        c = wv.wavedec(x, wavelet, level=3, mode="symmetric")
+        r = wv.waverec(c, wavelet, mode="symmetric")
+        np.testing.assert_allclose(r[:n], x, atol=1e-9)
+
+    def test_constant_signal_boundaries_exact(self):
+        """Symmetric extension of a constant IS constant, so details
+        are exactly 0 and cA = c * sqrt(2)^level EVERYWHERE including
+        boundaries — this is where periodization and symmetric agree
+        and any extension bug shows up as boundary leakage."""
+        x = np.full(40, 3.25)
+        c, _ = wv.wavedec(x, "db4", level=3, mode="symmetric")
+        for d in c[1:]:
+            np.testing.assert_allclose(d, 0.0, atol=1e-10)
+        np.testing.assert_allclose(c[0], 3.25 * 2 ** (3 / 2), atol=1e-10)
+
+    def test_db4_annihilates_cubics_interior_not_boundary(self):
+        """db4 has 4 vanishing moments: interior detail coeffs of a
+        cubic are 0, but symmetric reflection breaks the polynomial at
+        the edges, so boundary coefficients are NONZERO — exactly the
+        pywt boundary behaviour the periodized mode lacks."""
+        t = np.arange(64, dtype=float)
+        x = 0.01 * t**3 - 0.3 * t**2 + t
+        c, _ = wv.wavedec(x, "db4", level=1, mode="symmetric")
+        d = c[1]
+        assert np.abs(d[4:-4]).max() < 1e-8
+        assert np.abs(d[:3]).max() > 1e-3 or np.abs(d[-3:]).max() > 1e-3
+
+    def test_detail_sign_convention_is_pywts(self):
+        """pywt dec_hi[0] = -dec_lo[F-1]: a rising step yields
+        NEGATIVE finest-detail at the jump (haar: (x0-x1)/sqrt2)."""
+        x = np.array([0.0, 0, 0, 0, 1, 1, 1, 1])
+        c, _ = wv.wavedec(x, "haar", level=1, mode="symmetric")
+        assert c[1].sum() == pytest.approx(0.0)  # aligned pairs: no jump inside a pair
+        x = np.array([0.0, 0, 0, 1, 1, 1])
+        c, _ = wv.wavedec(x, "haar", level=1, mode="symmetric")
+        assert c[1][1] == pytest.approx(-0.70710678, abs=1e-8)
+
+    def test_denoise_and_detect_run_in_symmetric_mode(self, spark):
+        import pandas as pd
+
+        rng = np.random.default_rng(5)
+        pdf = pd.DataFrame(
+            {
+                "sid": ["s"] * 128,
+                "o": np.arange(128, dtype=float),
+                "v": np.sin(np.arange(128) * 0.3) + rng.normal(0, 0.1, 128),
+            }
+        )
+        pdf.loc[60, "v"] += 5.0
+        df = spark.createDataFrame(pdf)
+        den = wv.denoise(df, "sid", "o", "v", ext_mode="symmetric").toPandas()
+        assert len(den) == 128 and den["denoised"].notna().all()
+        det = wv.detect(df, "sid", "o", "v", ext_mode="symmetric").toPandas()
+        det = det.sort_values("o").reset_index(drop=True)
+        # Reference parity quirk, preserved on purpose: with pywt's
+        # symmetric lengths len(detail_1) = (n+7)//2 ≈ n/2+3, the
+        # reference's span mapping scale = n // len(detail)
+        # (wavelet.py:180-192) collapses to 1, so the spike at sample
+        # 60 is flagged at coefficient index ~30 — exactly what the
+        # reference does under pywt defaults.
+        flagged = det.index[det["verdict"] == -1].tolist()
+        assert flagged == [30]
+        # numpy-level parity: the Spark plan is the numpy kernel
+        want = wv.denoise_series(
+            pdf["v"].to_numpy(), "db4", 5, "soft", ext_mode="symmetric"
+        )
+        np.testing.assert_allclose(
+            den.sort_values("o")["denoised"].to_numpy(), want, atol=1e-9
+        )
+
+    def test_bad_mode_rejected(self):
+        with pytest.raises(ValueError):
+            wv.wavedec(np.arange(8.0), "haar", mode="zero")
