@@ -467,3 +467,89 @@ def pm_rul_model_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "failure_pred",
         r4(F.col("failure_proba")).alias("failure_proba"),
     )
+
+
+# --- ops 30-31: autoencoder seam with the mean-reconstruction dummy
+# model. The plug-in point is exercised end to end (scale → window →
+# reconstruct → score → mean+3σ threshold → pad), and with THIS model
+# every step is ANSI-SQL: score_i = avg_{j∈win_i} |xs_j − avg(win_i)|
+# via a bounded 20-row self-join. ---
+
+_AE_W, _AE_K = 20, 3.0
+
+_AE_SQL = f"""
+    WITH e AS (
+      SELECT event_type AS sid, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY epoch(ts), event_id) AS rn
+      FROM events
+    ),
+    mm AS (SELECT sid, min(value) AS mn, max(value) AS mx FROM e GROUP BY sid),
+    s AS (
+      SELECT e.sid, e.rn,
+             CASE WHEN mm.mx > mm.mn THEN (e.value - mm.mn) / (mm.mx - mm.mn)
+                  ELSE 0.0 END AS xs
+      FROM e JOIN mm USING (sid)
+    ),
+    mu AS (
+      SELECT a.sid, a.rn AS i, avg(b.xs) AS mu
+      FROM s a JOIN s b ON b.sid = a.sid
+                       AND b.rn BETWEEN a.rn - {_AE_W - 1} AND a.rn
+      WHERE a.rn >= {_AE_W}
+      GROUP BY a.sid, a.rn
+    ),
+    sc AS (
+      SELECT m.sid, m.i, avg(abs(b.xs - m.mu)) AS score
+      FROM mu m JOIN s b ON b.sid = m.sid
+                        AND b.rn BETWEEN m.i - {_AE_W - 1} AND m.i
+      GROUP BY m.sid, m.i
+    ),
+    thr AS (
+      SELECT sid, avg(score) + {_AE_K} * stddev_pop(score) AS thr
+      FROM sc GROUP BY sid
+    )
+    SELECT s.sid, CAST(s.rn AS DOUBLE) AS rn,
+           round(coalesce(sc.score, 0.0), 4) AS score,
+           CAST(CASE WHEN sc.score > thr.thr THEN -1 ELSE 1 END
+                AS INTEGER) AS verdict
+    FROM s
+    LEFT JOIN sc ON sc.sid = s.sid AND sc.i = s.rn
+    LEFT JOIN thr ON thr.sid = s.sid
+"""
+
+
+def _mean_reconstruction_factory():
+    """Package-level dummy model (importable on executors): each
+    window reconstructed as its own mean — the seam's test model."""
+    import numpy as _np
+
+    return lambda wins: _np.repeat(
+        wins.mean(axis=1, keepdims=True), wins.shape[1], axis=1
+    )
+
+
+@register("autoencoder_seam_events", _AE_SQL)
+def autoencoder_seam_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_toolkit_spark.operators.autoencoder import (
+        WindowedAutoencoderDetector,
+    )
+
+    e = load_table(spark, "events", sf_dir).select(
+        F.col("event_type").alias("sid"),
+        F.col("value").cast("double").alias("value"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("ts").cast("timestamp").cast("double"), F.col("event_id")
+            )
+        )
+        .cast("double")
+        .alias("rn"),
+    )
+    det = WindowedAutoencoderDetector(
+        model_factory=_mean_reconstruction_factory,
+        window_size=_AE_W,
+        threshold_std=_AE_K,
+    ).fit(e, "sid", "value")
+    out = det.transform(e, "sid", "rn", "value")
+    return out.select("sid", "rn", r4(F.col("score")).alias("score"), "verdict")

@@ -4,6 +4,9 @@ Heavy submodules (Spark ML, numpy kernels) are imported lazily by
 their users; this namespace re-exports the detector family roots.
 """
 
+from anomaly_detection_toolkit_spark.operators.autoencoder import (  # noqa: F401
+    WindowedAutoencoderDetector,
+)
 from anomaly_detection_toolkit_spark.operators.base import Detector  # noqa: F401
 from anomaly_detection_toolkit_spark.operators.ensemble import (  # noqa: F401
     EnsembleDetector,

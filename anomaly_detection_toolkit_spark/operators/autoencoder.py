@@ -1,0 +1,187 @@
+"""Autoencoder detector seam (ops 30-31): the full
+``LSTMAutoencoderDetector`` / ``PyTorchAutoencoderDetector`` API
+surface (``/root/reference/src/anomaly_detection_toolkit/
+autoencoders.py:41-498``) with a PLUGGABLE reconstruction model.
+
+Keras/TensorFlow and PyTorch are absent from the target environment
+(sanctioned non-goal, SURVEY §7.0), but everything AROUND the neural
+net is deterministic numpy and is implemented here verbatim:
+
+- MinMax scaling fitted on the training series (``:90`` —
+  ``scaler_ = MinMaxScaler()``; range-0 guard → identity);
+- sliding windows ``x[i:i+w]`` with the vectorized index trick
+  (``:93-108``), univariate only (``:147-148``);
+- score = per-window mean |x_window − reconstruction| (``:233-240``);
+- predict threshold = mean + threshold_std·std of the scores at
+  PREDICT time (``:199-203``), verdict −1 iff score > threshold,
+  first ``window_size−1`` samples padded normal (+1) (``:204-208``).
+
+**Plug-in contract** — the one seam a user fills to get real
+LSTM/conv autoencoders back:
+
+``model_factory() -> (windows: np.ndarray (n, w)) -> np.ndarray (n, w)``
+
+A zero-arg factory returning the reconstruction function. The factory
+runs ONCE PER EXECUTOR PYTHON WORKER (inside the Arrow-batched
+kernel, cached by closure), so heavyweight models are loaded
+worker-side instead of being pickled through the closure — the same
+shape as ``pyspark.ml.functions.predict_batch_udf``. The default
+factory is an identity-on-scaled-windows model, which makes scores
+exactly |residual from window mean reconstruction| ≡ 0 — useful only
+for tests; real users plug in e.g.
+
+    def factory():
+        import onnxruntime  # loaded on the executor
+        sess = onnxruntime.InferenceSession("ae.onnx")
+        return lambda w: sess.run(None, {"x": w[..., None]})[0][..., 0]
+
+Spark integration: one time series = one group;
+``groupBy(series).applyInPandas`` runs scale → window → reconstruct →
+score → threshold per group (the reference is single-series
+in-memory, ``:135-245``; here 10^6 series parallelize across
+executors, each group's windows batched through Arrow once).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+ModelFactory = Callable[[], Callable[[np.ndarray], np.ndarray]]
+
+
+def identity_model_factory() -> Callable[[np.ndarray], np.ndarray]:
+    """Default stand-in 'autoencoder': reconstructs every window as
+    itself (zero residual). Exists so the seam is runnable without
+    TF/torch; tests plug in non-trivial numpy models."""
+    return lambda windows: windows
+
+
+def make_windows(x: np.ndarray, w: int) -> np.ndarray:
+    """Sliding windows, (n-w+1, w) — ``autoencoders.py:93-108``."""
+    if len(x) < w:
+        return np.empty((0, w))
+    idx = np.arange(w) + np.arange(len(x) - w + 1)[:, None]
+    return x[idx]
+
+
+def score_windows(
+    x_scaled: np.ndarray, w: int, reconstruct: Callable[[np.ndarray], np.ndarray]
+) -> np.ndarray:
+    """Per-window mean-abs reconstruction error
+    (``autoencoders.py:233-240``); zeros when the series is shorter
+    than the window (``:228-229``)."""
+    wins = make_windows(x_scaled, w)
+    if len(wins) == 0:
+        return np.zeros(len(x_scaled))
+    rec = np.asarray(reconstruct(wins), dtype=np.float64)
+    if rec.shape != wins.shape:
+        raise ValueError(
+            f"reconstruction shape {rec.shape} != windows shape {wins.shape}"
+        )
+    return np.mean(np.abs(wins - rec), axis=1)
+
+
+def predict_from_scores(scores: np.ndarray, n: int, threshold_std: float) -> np.ndarray:
+    """Verdicts from window scores (``autoencoders.py:199-208``):
+    threshold = mean + k·std of the scores themselves, −1 beyond,
+    first n − len(scores) samples padded +1."""
+    thr = float(np.mean(scores)) + threshold_std * float(np.std(scores))
+    verd = np.where(scores > thr, -1, 1)
+    if len(verd) < n:
+        verd = np.concatenate([np.ones(n - len(verd)), verd])
+    return verd.astype(np.int32)
+
+
+class WindowedAutoencoderDetector:
+    """Distributed fit/score/predict around a pluggable
+    reconstruction model (see module docstring for the contract)."""
+
+    def __init__(
+        self,
+        model_factory: ModelFactory = identity_model_factory,
+        window_size: int = 20,
+        threshold_std: float = 3.0,
+    ) -> None:
+        self.model_factory = model_factory
+        self.window_size = int(window_size)
+        self.threshold_std = float(threshold_std)
+        # per-series MinMax state, fitted by fit(): {series: (min, max)}
+        self.scale_: dict[str, tuple[float, float]] = {}
+        self.is_fitted = False
+
+    def fit(
+        self, df: DataFrame, series_col: str, value_col: str
+    ) -> "WindowedAutoencoderDetector":
+        """Fit the MinMax scaler per series — ONE aggregation job
+        collecting a tiny (series → min/max) record to the driver,
+        re-broadcast as literals, the fitted-state pattern every
+        detector here uses (``base.py`` module docstring). The neural
+        net itself trains outside this engine (the plug-in boundary);
+        what the reference's ``fit`` contributes to later scoring is
+        exactly the scaler + the trained weights (``:152-180``)."""
+        from pyspark.sql import functions as F
+
+        rows = (
+            df.groupBy(series_col)
+            .agg(
+                F.min(F.col(value_col).cast("double")).alias("mn"),
+                F.max(F.col(value_col).cast("double")).alias("mx"),
+            )
+            .collect()
+        )
+        self.scale_ = {str(r[series_col]): (float(r["mn"]), float(r["mx"])) for r in rows}
+        self.is_fitted = True
+        return self
+
+    def _scale(self, sid: str, x: np.ndarray) -> np.ndarray:
+        mn, mx = self.scale_.get(sid, (float(np.min(x)), float(np.max(x))))
+        rng = mx - mn
+        if rng == 0.0:
+            return np.zeros_like(x)
+        return (x - mn) / rng
+
+    def transform(
+        self, df: DataFrame, series_col: str, order_col: str, value_col: str
+    ) -> DataFrame:
+        """(series, order, value, score, verdict) — score is the
+        reconstruction error of the window ENDING at the row (reference
+        aligns window i with sample i+w−1 via its padding, ``:204-208``),
+        verdict per the predict-time mean+k·std threshold."""
+        if not self.is_fitted:
+            raise ValueError("fit() first")
+        w = self.window_size
+        k = self.threshold_std
+        factory = self.model_factory
+        scale = self.scale_
+        schema = (
+            f"{series_col} string, {order_col} double, value double, "
+            "score double, verdict int"
+        )
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            reconstruct = factory()  # once per group batch, executor-side
+            pdf = pdf.sort_values(order_col)
+            sid = str(pdf[series_col].iloc[0])
+            x = pdf[value_col].to_numpy(dtype=np.float64)
+            mn, mx = scale.get(sid, (float(x.min()), float(x.max())))
+            rng = mx - mn
+            xs = (x - mn) / rng if rng != 0.0 else np.zeros_like(x)
+            scores = score_windows(xs, w, reconstruct)
+            verd = predict_from_scores(scores, len(x), k)
+            pad = len(x) - len(scores)
+            full_scores = np.concatenate([np.zeros(pad), scores]) if pad > 0 else scores
+            return pd.DataFrame(
+                {
+                    series_col: pdf[series_col].astype(str),
+                    order_col: pdf[order_col].astype(float),
+                    "value": x,
+                    "score": full_scores,
+                    "verdict": verd,
+                }
+            )
+
+        return df.groupBy(series_col).applyInPandas(kernel, schema=schema)
