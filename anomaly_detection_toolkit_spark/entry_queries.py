@@ -278,11 +278,72 @@ def pm_rul_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SURVEY §2 op-41: FFT spectral constants per series (non-SQL → rows-only)
+# SURVEY §2 op-41: FFT spectral constants per series. The rfft itself
+# IS oracle-checkable: |X_k|² of a real signal is the N² DFT
+# Σx·cos / Σx·sin — quadratic but fine at sf0.01 gate scale (the
+# Spark side stays O(n log n) numpy rfft; only the DuckDB oracle pays
+# N²). dominant = argmax power (DC skipped), centroid =
+# Σf·P/(ΣP+1e-10), rolloff = first freq with cum power ≥ 85%.
 # ---------------------------------------------------------------------------
 
+_FFT_SQL = """
+    WITH e AS (
+      SELECT event_type AS sid, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY epoch(ts), event_id) - 1 AS j
+      FROM events WHERE value IS NOT NULL
+    ),
+    n AS (SELECT sid, count(*) AS n FROM e GROUP BY sid),
+    ks AS (SELECT sid, n, unnest(range(0, n // 2 + 1)) AS k FROM n),
+    dft AS (
+      SELECT ks.sid, ks.k, ks.n,
+             sum(e.value * cos(2 * pi() * ks.k * e.j / ks.n)) AS re,
+             sum(e.value * sin(2 * pi() * ks.k * e.j / ks.n)) AS im
+      FROM ks JOIN e ON e.sid = ks.sid
+      GROUP BY ks.sid, ks.k, ks.n
+    ),
+    p AS (SELECT sid, k, n, re * re + im * im AS power FROM dft),
+    dom AS (
+      SELECT sid, CAST(k AS DOUBLE) / n AS dominant
+      FROM (
+        SELECT sid, k, n,
+               row_number() OVER (PARTITION BY sid
+                                  ORDER BY power DESC, k) AS r
+        FROM p WHERE k >= 1
+      ) WHERE r = 1
+    ),
+    cent AS (
+      SELECT sid,
+             sum((CAST(k AS DOUBLE) / n) * power)
+               / (sum(power) + 1e-10) AS centroid
+      FROM p GROUP BY sid
+    ),
+    roll AS (
+      SELECT sid, min(CAST(k AS DOUBLE) / n) AS rolloff
+      FROM (
+        SELECT sid, k, n,
+               sum(power) OVER (PARTITION BY sid ORDER BY k) AS cum,
+               sum(power) OVER (PARTITION BY sid) AS total
+        FROM p
+      ) WHERE cum >= total * 0.85
+      GROUP BY sid
+    )
+    SELECT ev.event_id, ev.event_type,
+           round(CASE WHEN n.n <= 10 THEN 0.0 ELSE dom.dominant END, 4)
+             AS dominant_freq,
+           round(CASE WHEN n.n <= 10 THEN 0.0 ELSE cent.centroid END, 4)
+             AS spectral_centroid,
+           round(CASE WHEN n.n <= 10 THEN 0.0 ELSE roll.rolloff END, 4)
+             AS spectral_rolloff
+    FROM events ev
+    LEFT JOIN n ON n.sid = ev.event_type
+    LEFT JOIN dom ON dom.sid = ev.event_type
+    LEFT JOIN cent ON cent.sid = ev.event_type
+    LEFT JOIN roll ON roll.sid = ev.event_type
+"""
 
-@register("pm_fft_events")  # numpy rfft is not ANSI-SQL-expressible
+
+@register("pm_fft_events", _FFT_SQL)
 def pm_fft_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, "events", sf_dir)
     out = pm.fft_features(df, "value", "event_type", ["ts", "event_id"])
