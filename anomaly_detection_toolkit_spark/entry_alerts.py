@@ -115,3 +115,133 @@ def topk_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rn", F.row_number().over(w)).select(
         "event_id", "event_type", r4(F.col("value")).alias("value"), "rn"
     )
+
+
+# --- op-51 streaming variant: stateful escalation replayed through
+# the REAL applyInPandasWithState operator as 3 micro-batches (one
+# file each, availableNow). The running count is SQL: end-of-batch
+# cumulative alerts per (asset, feature) — a window sum over
+# per-batch counts ordered by batch index. ---
+
+_STREAM_ESC_SQL = """
+    WITH un AS (
+      SELECT CAST(l_orderkey AS VARCHAR) AS asset_id,
+             l_linenumber % 3 AS batch,
+             'l_quantity' AS feature, CAST(l_quantity AS DOUBLE) AS value
+      FROM lineitem
+      UNION ALL
+      SELECT CAST(l_orderkey AS VARCHAR), l_linenumber % 3,
+             'l_discount', CAST(l_discount AS DOUBLE)
+      FROM lineitem
+    ),
+    lev AS (
+      SELECT *,
+        CASE WHEN feature = 'l_quantity' THEN
+               CASE WHEN value >= 45.0 THEN 'critical'
+                    WHEN value >= 30.0 THEN 'warning' END
+             WHEN feature = 'l_discount' THEN
+               CASE WHEN value >= 0.10 THEN 'critical'
+                    WHEN value >= 0.08 THEN 'warning' END
+        END AS raw_level,
+        CASE WHEN feature = 'l_quantity' THEN
+               CASE WHEN value >= 45.0 THEN 45.0
+                    WHEN value >= 30.0 THEN 30.0 END
+             WHEN feature = 'l_discount' THEN
+               CASE WHEN value >= 0.10 THEN 0.10
+                    WHEN value >= 0.08 THEN 0.08 END
+        END AS threshold
+      FROM un WHERE value IS NOT NULL
+    ),
+    al AS (SELECT * FROM lev WHERE raw_level IS NOT NULL),
+    bc AS (
+      SELECT asset_id, feature, batch, count(*) AS c
+      FROM al GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT asset_id, feature, batch,
+             CAST(sum(c) OVER (PARTITION BY asset_id, feature
+                               ORDER BY batch) AS BIGINT) AS kc
+      FROM bc
+    )
+    SELECT al.asset_id, al.feature, round(al.value, 4) AS value,
+           al.raw_level,
+           CASE WHEN al.raw_level = 'warning' AND cum.kc >= 3
+                THEN 'critical' ELSE al.raw_level END AS level,
+           al.threshold, cum.kc AS key_count,
+           printf('%s = %.2f exceeds %s threshold (%.2f)',
+                  al.feature, al.value, al.raw_level, al.threshold) AS message
+    FROM al JOIN cum ON cum.asset_id = al.asset_id
+                    AND cum.feature = al.feature
+                    AND cum.batch = al.batch
+"""
+
+_STREAM_ESC_THRESHOLDS = {
+    "l_quantity": {"warning": 30.0, "critical": 45.0},
+    "l_discount": {"warning": 0.08, "critical": 0.10},
+}
+
+
+@register("streaming_escalation_lineitem", _STREAM_ESC_SQL)
+def streaming_escalation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replays lineitem (batched by l_linenumber % 3) through the
+    stateful streaming escalation operator; the per-key running count
+    accumulates across micro-batches exactly like the reference's
+    long-lived alert_counts dict."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from anomaly_detection_toolkit_spark.streaming.escalation import (
+        streaming_check_thresholds,
+    )
+
+    df = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").cast("string").alias("asset_id"),
+        F.pmod(F.col("l_linenumber"), 3).alias("batch"),
+        F.col("l_quantity").cast("double"),
+        F.col("l_discount").cast("double"),
+    )
+    tmp = tempfile.mkdtemp(prefix="adt_esc_")
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    base = 1_000_000_000.0
+    for b in range(3):
+        stage = os.path.join(tmp, f"stage{b}")
+        df.filter(F.col("batch") == b).drop("batch").coalesce(1).write.json(stage)
+        (part,) = glob.glob(os.path.join(stage, "part-*.json"))
+        dst = os.path.join(src, f"b{b}.json")
+        shutil.move(part, dst)
+        # distinct ascending mtimes pin micro-batch order (file source
+        # processes oldest first)
+        os.utime(dst, (base + b * 60, base + b * 60))
+    stream = spark.readStream.schema(
+        "asset_id string, l_quantity double, l_discount double"
+    ).option("maxFilesPerTrigger", 1).json(src)
+    sink, ckpt = os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+    q = (
+        streaming_check_thresholds(
+            stream,
+            _STREAM_ESC_THRESHOLDS,
+            asset_col="asset_id",
+            escalation={"warning": {"min_count": 3}},
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(sink)
+    return out.select(
+        "asset_id",
+        "feature",
+        r4(F.col("value")).alias("value"),
+        "raw_level",
+        "level",
+        "threshold",
+        "key_count",
+        "message",
+    )

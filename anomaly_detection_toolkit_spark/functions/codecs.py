@@ -219,6 +219,8 @@ def _png_unfilter(data: bytes, w: int, h: int) -> np.ndarray:
     arr = np.frombuffer(data, dtype=np.uint8).reshape(h, stride + 1)
     filters = arr[:, 0]
     rows = arr[:, 1:]
+    if not filters.any():  # all filter-0 (what encode_png emits):
+        return rows.reshape(h, w, 3).copy()  # pure reshape, no row loop
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         f = int(filters[y])

@@ -83,6 +83,16 @@ def main() -> None:
     suite_sec, n_img = bench_validation_suite(spark, img_path)
     timings["validation_suite"] = round(suite_sec, 3)
 
+    # like-for-like headline vs BENCH/BASELINE.md (500k images): run
+    # only when the scaling bench's cached table is already on disk —
+    # generating 500k images inside the per-round bench would swamp it
+    big_path = REPO / ".bench_cache" / "images_n500000_p32"
+    img_500k = None
+    if (big_path / "_SUCCESS").exists():
+        sec_500k, n_500k = bench_validation_suite(spark, str(big_path))
+        timings["validation_suite_500k"] = round(sec_500k, 3)
+        img_500k = round(n_500k / sec_500k, 1)
+
     # skewed-key dedup: 2M rows, 40% sharing ONE key — the hot-phash
     # shape the north rule names; exercises the salted repartition +
     # sort-within-partition plan end to end
@@ -116,6 +126,7 @@ def main() -> None:
                 "sf": sf,
                 "images": n_img,
                 "images_per_sec": round(n_img / suite_sec, 1),
+                **({"images_per_sec_500k": img_500k} if img_500k else {}),
                 "cpus": cpus,
             }
         )

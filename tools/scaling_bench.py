@@ -33,6 +33,7 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))  # table generation imports the package
 
 CHILD = r"""
 import json, sys, time
@@ -155,13 +156,16 @@ def main() -> None:
         lines.append(
             f"| {c} | {best:.2f} | {n / best:.0f} | {sp:.2f}x | {eff:.2f} |"
         )
-    n2, n8 = args.levels[0], args.levels[1]
-    sp = min(results[n2]["times"]) / min(results[n8]["times"])
-    eff = sp / (n8 / n2)
+    if len(args.levels) >= 2:
+        n2, n8 = args.levels[0], args.levels[1]
+        sp = min(results[n2]["times"]) / min(results[n8]["times"])
+        eff = sp / (n8 / n2)
+        lines += [
+            "",
+            f"**North-rule pair (N={n2} → 4N={n8} cores): speedup {sp:.2f}x, "
+            f"scaling efficiency {eff:.2f}** (target ≥ 0.8).",
+        ]
     lines += [
-        "",
-        f"**North-rule pair (N={n2} → 4N={n8} cores): speedup {sp:.2f}x, "
-        f"scaling efficiency {eff:.2f}** (target ≥ 0.8).",
         "",
         "Raw per-run times: "
         + json.dumps({str(c): [round(t, 2) for t in r["times"]] for c, r in results.items()}),
