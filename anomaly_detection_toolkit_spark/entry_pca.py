@@ -44,3 +44,81 @@ def pca_mahalanobis_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return det.transform(feats).select(
         "vec_id", r4(F.col("score")).alias("score"), "verdict"
     )
+
+
+# --- EXACT PCA oracles (2-D): the eigendecomposition drops out.
+# Full-rank Mahalanobis is eigenbasis-invariant:
+#   score = sqrt((n-1)/n * z'C^-1 z),  C = [[1, r], [r, 1]]
+#   => (z1^2 - 2 r z1 z2 + z2^2) / (1 - r^2),
+# and for k=1 of d=2 the correlation matrix's eigenvectors are FIXED
+# ([1,1]/sqrt2, [1,-1]/sqrt2 — only the order depends on sign(r)), so
+# the reconstruction error is the discarded coordinate squared:
+#   (z1 -/+ z2)^2 / 2  for r >/< 0.
+# Both close over the same percentile(0.95) threshold the detector
+# fits, putting ops 15-21's scoring + threshold + verdict behind the
+# hard gate (the 8-D queries above stay rows-only for eigh itself). ---
+
+_PCA2_BASE = """
+    WITH f AS (
+      SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x1,
+             CAST(embedding[2] AS DOUBLE) AS x2
+      FROM embeddings
+    ),
+    s AS (
+      SELECT count(*) AS n, avg(x1) AS m1, avg(x2) AS m2,
+             stddev_pop(x1) AS s1, stddev_pop(x2) AS s2,
+             corr(x1, x2) AS r
+      FROM f
+    ),
+    z AS (
+      SELECT id,
+             (x1 - m1) / (CASE WHEN s1 = 0 THEN 1.0 ELSE s1 END) AS z1,
+             (x2 - m2) / (CASE WHEN s2 = 0 THEN 1.0 ELSE s2 END) AS z2,
+             n, r
+      FROM f, s
+    ),
+    sc AS (SELECT id, {score} AS score FROM z),
+    t AS (SELECT quantile_cont(score, 0.95) AS thr FROM sc)
+    SELECT id, round(score, 4) AS score,
+           CAST(CASE WHEN score > thr THEN -1 ELSE 1 END AS INTEGER) AS verdict
+    FROM sc, t
+"""
+
+_PCA2_MAHA_SQL = _PCA2_BASE.format(
+    score="sqrt(((n - 1.0) / n) * (z1*z1 - 2*r*z1*z2 + z2*z2) / (1.0 - r*r))"
+)
+_PCA2_RECON_SQL = _PCA2_BASE.format(
+    score="CASE WHEN r > 0 THEN (z1 - z2)*(z1 - z2) / 2.0 "
+    "ELSE (z1 + z2)*(z1 + z2) / 2.0 END"
+)
+
+
+def _embedding_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, "embeddings", sf_dir)
+    return df.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding")[0].cast("double").alias("x1"),
+        F.col("embedding")[1].cast("double").alias("x2"),
+    )
+
+
+@register("pca_maha2d_embeddings", _PCA2_MAHA_SQL)
+def pca_maha2d_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _embedding_2d(spark, sf_dir)
+    det = PCADetector(n_components=2, score_method="mahalanobis").fit(
+        feats, ["x1", "x2"]
+    )
+    return det.transform(feats).select(
+        "id", r4(F.col("score")).alias("score"), "verdict"
+    )
+
+
+@register("pca_recon2d_embeddings", _PCA2_RECON_SQL)
+def pca_recon2d_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _embedding_2d(spark, sf_dir)
+    det = PCADetector(n_components=1, score_method="reconstruction").fit(
+        feats, ["x1", "x2"]
+    )
+    return det.transform(feats).select(
+        "id", r4(F.col("score")).alias("score"), "verdict"
+    )
