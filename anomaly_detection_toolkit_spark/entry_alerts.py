@@ -125,12 +125,12 @@ def topk_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_ESC_SQL = """
     WITH un AS (
-      SELECT CAST(l_orderkey AS VARCHAR) AS asset_id,
+      SELECT CAST(l_orderkey % 500 AS VARCHAR) AS asset_id,
              l_linenumber % 3 AS batch,
              'l_quantity' AS feature, CAST(l_quantity AS DOUBLE) AS value
       FROM lineitem
       UNION ALL
-      SELECT CAST(l_orderkey AS VARCHAR), l_linenumber % 3,
+      SELECT CAST(l_orderkey % 500 AS VARCHAR), l_linenumber % 3,
              'l_discount', CAST(l_discount AS DOUBLE)
       FROM lineitem
     ),
@@ -165,7 +165,7 @@ _STREAM_ESC_SQL = """
     )
     SELECT al.asset_id, al.feature, round(al.value, 4) AS value,
            al.raw_level,
-           CASE WHEN al.raw_level = 'warning' AND cum.kc >= 3
+           CASE WHEN al.raw_level = 'warning' AND cum.kc >= 50
                 THEN 'critical' ELSE al.raw_level END AS level,
            al.threshold, cum.kc AS key_count,
            printf('%s = %.2f exceeds %s threshold (%.2f)',
@@ -196,8 +196,11 @@ def streaming_escalation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
         streaming_check_thresholds,
     )
 
+    # 500 assets (not 15k orders): applyInPandasWithState pays a
+    # per-group pandas overhead, so the fixture uses realistically
+    # hot keys — 1000 (asset, feature) groups per micro-batch
     df = load_table(spark, "lineitem", sf_dir).select(
-        F.col("l_orderkey").cast("string").alias("asset_id"),
+        F.pmod(F.col("l_orderkey"), 500).cast("string").alias("asset_id"),
         F.pmod(F.col("l_linenumber"), 3).alias("batch"),
         F.col("l_quantity").cast("double"),
         F.col("l_discount").cast("double"),
@@ -206,12 +209,18 @@ def streaming_escalation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
     src = os.path.join(tmp, "in")
     os.makedirs(src)
     base = 1_000_000_000.0
+    # ONE pass over lineitem: partitionBy(batch) writes all three
+    # micro-batch files in a single job (a per-batch filter loop would
+    # scan the fact table once per batch)
+    stage = os.path.join(tmp, "stage")
+    df.repartition("batch").write.partitionBy("batch").json(stage)
     for b in range(3):
-        stage = os.path.join(tmp, f"stage{b}")
-        df.filter(F.col("batch") == b).drop("batch").coalesce(1).write.json(stage)
-        (part,) = glob.glob(os.path.join(stage, "part-*.json"))
+        parts = sorted(glob.glob(os.path.join(stage, f"batch={b}", "part-*.json")))
         dst = os.path.join(src, f"b{b}.json")
-        shutil.move(part, dst)
+        with open(dst, "wb") as out_f:
+            for p in parts:
+                with open(p, "rb") as in_f:
+                    shutil.copyfileobj(in_f, out_f)
         # distinct ascending mtimes pin micro-batch order (file source
         # processes oldest first)
         os.utime(dst, (base + b * 60, base + b * 60))
@@ -224,7 +233,7 @@ def streaming_escalation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
             stream,
             _STREAM_ESC_THRESHOLDS,
             asset_col="asset_id",
-            escalation={"warning": {"min_count": 3}},
+            escalation={"warning": {"min_count": 50}},
         )
         .writeStream.format("parquet")
         .option("path", sink)
