@@ -104,6 +104,9 @@ def main() -> None:
         t0 = time.perf_counter()
         _noop_write(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # queries that persist intermediates (dedup/LOF/suite) would
+        # otherwise leak cache memory into every later measurement
+        spark.catalog.clearCache()
 
     # like-for-like headline vs BENCH/BASELINE.md (500k images): runs
     # LAST so its multi-GB cache churn can't pollute the per-query

@@ -143,3 +143,26 @@ def test_uniqueness_uses_partial_aggregation(spark):
     # partial_count before the exchange = map-side combine (the
     # anti-hot-key property SURVEY §4.2.2 relies on)
     assert "partial_count" in plan or "HashAggregate(keys=[phash" in plan
+
+
+def test_suite_grid_documents_feeds_checks_from_cache(spark):
+    """The oracle-checked suite grid: every check's violation subtree
+    must read the persisted fact (InMemoryTableScan), never re-scan
+    the documents parquet — the same one-pass cost model as the image
+    suite, pinned on the DuckDB-replicable path."""
+    from anomaly_detection_toolkit_spark.entry_suite import suite_grid_documents
+
+    out = suite_grid_documents(spark, "/root/testdata/sf0.001")
+    plan = plan_of(out)
+    # the parquet appears once (the cache-materializing scan lineage);
+    # check subtrees read InMemoryTableScans
+    assert plan.count("InMemoryTableScan") >= 4
+    rows = out.collect()
+    checks = {r.check for r in rows}
+    assert checks == {
+        "schema", "column_stats", "uniqueness_doc_key",
+        "uniqueness_phash16", "referential_caption", "drift",
+    }
+    # non-trivial grid: failures AND passes both present
+    verds = {r.verdict for r in rows}
+    assert verds == {-1, 1}
