@@ -553,3 +553,126 @@ def autoencoder_seam_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).fit(e, "sid", "value")
     out = det.transform(e, "sid", "rn", "value")
     return out.select("sid", "rn", r4(F.col("score")).alias("score"), "verdict")
+
+
+# --- Streaming drift monitor (DriftCheck semantics over event-time
+# windows, finalize-on-watermark-expiry). The availableNow replay is
+# fully SQL: per-window bucket histograms vs the global baseline,
+# KS = max CDF gap and PSI over the (windows x baseline-buckets)
+# grid — exactly the batch DriftCheck math. ---
+
+_SD_WIN, _SD_THR = 259200.0, 0.15  # 3-day windows over ~30 days
+
+_STREAM_DRIFT_SQL = f"""
+    WITH e AS (
+      SELECT epoch(ts) AS tsd,
+             least(greatest(floor(value), -4), 3) AS bucket
+      FROM events
+    ),
+    base AS (
+      SELECT bucket, count(*) * 1.0 / (SELECT count(*) FROM e) AS q
+      FROM e GROUP BY bucket
+    ),
+    w AS (
+      SELECT floor(tsd / {_SD_WIN}) * {_SD_WIN} AS window_start,
+             bucket, count(*) AS c
+      FROM e GROUP BY 1, 2
+    ),
+    tot AS (SELECT window_start, sum(c) AS n FROM w GROUP BY 1),
+    grid AS (
+      SELECT t.window_start, b.bucket, coalesce(w.c, 0) AS c, t.n, b.q
+      FROM tot t CROSS JOIN base b
+      LEFT JOIN w ON w.window_start = t.window_start AND w.bucket = b.bucket
+    ),
+    en AS (
+      SELECT window_start, bucket, CAST(c AS DOUBLE) / n AS p, q, n
+      FROM grid
+    ),
+    agg AS (
+      SELECT window_start, any_value(n) AS n,
+             max(abs(cdf_p - cdf_q)) AS ks,
+             sum((p - q) * ln(greatest(p, 1e-6) / greatest(q, 1e-6))) AS psi
+      FROM (
+        SELECT *,
+               sum(p) OVER (PARTITION BY window_start ORDER BY bucket) AS cdf_p,
+               sum(q) OVER (PARTITION BY window_start ORDER BY bucket) AS cdf_q
+        FROM en
+      ) GROUP BY window_start
+    )
+    SELECT round(window_start, 4) AS window_start, CAST(n AS BIGINT) AS n,
+           round(ks, 4) AS ks, round(psi, 4) AS psi,
+           CAST(CASE WHEN ks > {_SD_THR} THEN -1 ELSE 1 END AS INTEGER)
+             AS verdict
+    FROM agg
+"""
+
+
+@register("streaming_drift_events", _STREAM_DRIFT_SQL)
+def streaming_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replays events through the finalize-on-watermark-expiry drift
+    monitor: batch 1 = all events, batch 2 = a far-future sentinel
+    that pushes the watermark past every real window so they all
+    finalize (the sentinel's own window never emits); the trailing
+    no-data micro-batch fires the remaining timeouts."""
+    from anomaly_detection_toolkit_spark.streaming.drift import (
+        streaming_drift_scores,
+    )
+
+    e = load_table(spark, "events", sf_dir).select(
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        F.least(
+            F.greatest(F.floor(F.col("value")), F.lit(-4)), F.lit(3)
+        ).cast("double").alias("bucket"),
+    )
+    base_rows = (
+        e.groupBy("bucket").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    total = sum(r["c"] for r in base_rows)
+    baseline = {float(r["bucket"]): r["c"] / total for r in base_rows}
+    max_ts = e.agg(F.max("ts")).first()[0]
+
+    tmp = tempfile.mkdtemp(prefix="adt_sdrift_")
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    import glob as _glob
+    import shutil as _shutil
+
+    stage = os.path.join(tmp, "stage")
+    e.coalesce(1).write.json(stage)
+    (part,) = _glob.glob(os.path.join(stage, "part-*.json"))
+    b0 = os.path.join(src, "b0.json")
+    _shutil.move(part, b0)
+    b1 = os.path.join(src, "b1.json")
+    with open(b1, "w") as f:
+        f.write(json.dumps({"ts": max_ts + 1e9, "bucket": 0.0}) + "\n")
+    base_t = 1_000_000_000.0
+    os.utime(b0, (base_t, base_t))
+    os.utime(b1, (base_t + 60, base_t + 60))
+
+    stream = (
+        spark.readStream.schema("ts double, bucket double")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    sink, ckpt = os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+    q = (
+        streaming_drift_scores(
+            stream, baseline, window_s=_SD_WIN,
+            watermark_delay="1 hour", ks_threshold=_SD_THR,
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(sink)
+    return out.select(
+        r4(F.col("window_start")).alias("window_start"),
+        "n",
+        r4(F.col("ks")).alias("ks"),
+        r4(F.col("psi")).alias("psi"),
+        "verdict",
+    )

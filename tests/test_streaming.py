@@ -302,3 +302,43 @@ def test_streaming_escalation_running_count_across_batches(spark, tmp_path):
     assert by_val[55.0].level == "warning" and by_val[55.0].key_count == 2
     assert by_val[60.0].level == "warning" and by_val[60.0].key_count == 2
     assert by_val[65.0].level == "critical" and by_val[65.0].key_count == 3
+
+
+def test_streaming_drift_finalize_on_watermark(spark, tmp_path):
+    """Windows emit exactly once, when the watermark passes their end
+    + delay; open windows stay withheld; a drifted window is flagged
+    with the batch DriftCheck math (golden via drift_stats)."""
+    from anomaly_detection_toolkit_spark.streaming.drift import (
+        drift_stats,
+        streaming_drift_scores,
+    )
+
+    W = 100.0  # window seconds
+    baseline = {0.0: 0.5, 1.0: 0.5}
+    rows = []
+    # window 1000: balanced (matches baseline); window 1100: all-ones
+    for i in range(20):
+        rows.append({"ts": 1000.0 + i, "bucket": float(i % 2)})
+    for i in range(20):
+        rows.append({"ts": 1100.0 + i, "bucket": 1.0})
+    batches = [rows, [{"ts": 9000.0, "bucket": 0.0}]]  # sentinel advances watermark
+    got = _run_files(
+        spark,
+        tmp_path,
+        batches,
+        lambda s: streaming_drift_scores(
+            s, baseline, window_s=W, watermark_delay="10 seconds",
+            ks_threshold=0.15,
+        ),
+        "sdrift",
+    )
+    by_w = {r.window_start: r for r in got}
+    # both real windows finalized; the sentinel's window did not emit
+    assert set(by_w) == {1000.0, 1100.0}
+    ok = by_w[1000.0]
+    bad = by_w[1100.0]
+    assert ok.n == 20 and ok.verdict == 1 and ok.ks == pytest.approx(0.0)
+    n, ks, psi = drift_stats({1.0: 20}, baseline)
+    assert bad.n == 20 and bad.verdict == -1
+    assert bad.ks == pytest.approx(ks) and bad.psi == pytest.approx(psi)
+    assert ks == pytest.approx(0.5)
