@@ -567,7 +567,7 @@ _STREAM_DRIFT_SQL = f"""
     WITH e AS (
       SELECT epoch(ts) AS tsd,
              least(greatest(floor(value), -4), 3) AS bucket
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     base AS (
       SELECT bucket, count(*) * 1.0 / (SELECT count(*) FROM e) AS q
@@ -618,11 +618,17 @@ def streaming_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_drift_scores,
     )
 
-    e = load_table(spark, "events", sf_dir).select(
-        F.col("ts").cast("timestamp").cast("double").alias("ts"),
-        F.least(
-            F.greatest(F.floor(F.col("value")), F.lit(-4)), F.lit(3)
-        ).cast("double").alias("bucket"),
+    e = (
+        load_table(spark, "events", sf_dir)
+        # null values would silently diverge: pandas value_counts
+        # drops NaN buckets but a SQL GROUP BY keeps a NULL group
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("ts").cast("timestamp").cast("double").alias("ts"),
+            F.least(
+                F.greatest(F.floor(F.col("value")), F.lit(-4)), F.lit(3)
+            ).cast("double").alias("bucket"),
+        )
     )
     base_rows = (
         e.groupBy("bucket").agg(F.count(F.lit(1)).alias("c")).collect()

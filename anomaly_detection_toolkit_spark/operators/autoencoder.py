@@ -122,7 +122,14 @@ class WindowedAutoencoderDetector:
         detector here uses (``base.py`` module docstring). The neural
         net itself trains outside this engine (the plug-in boundary);
         what the reference's ``fit`` contributes to later scoring is
-        exactly the scaler + the trained weights (``:152-180``)."""
+        exactly the scaler + the trained weights (``:152-180``).
+
+        Scale note: the collected state is one (min, max) pair per
+        series. Above ~10^6 series skip ``fit`` entirely — the
+        transform kernel falls back to a per-group min/max computed
+        inside the same Arrow batch, keeping the driver out of the
+        loop (train-set vs score-set scaling then coincide, which is
+        the common same-table case)."""
         from pyspark.sql import functions as F
 
         rows = (
