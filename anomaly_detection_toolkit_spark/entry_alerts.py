@@ -192,6 +192,7 @@ def streaming_escalation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
     import shutil
     import tempfile
 
+    from anomaly_detection_toolkit_spark.streaming import await_streaming
     from anomaly_detection_toolkit_spark.streaming.escalation import (
         streaming_check_thresholds,
     )
@@ -242,7 +243,7 @@ def streaming_escalation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
         .outputMode("append")
         .start()
     )
-    q.awaitTermination(300)
+    await_streaming(q, 300)
     out = spark.read.parquet(sink)
     return out.select(
         "asset_id",

@@ -191,6 +191,7 @@ def streaming_sliding_buffer_events(spark: SparkSession, sf_dir: str) -> DataFra
     """Replays 500 events per event_type through the REAL
     applyInPandasWithState operator (availableNow trigger, parquet
     sink) and returns the emitted status/score rows."""
+    from anomaly_detection_toolkit_spark.streaming import await_streaming
     from anomaly_detection_toolkit_spark.streaming.ingestion import (
         sliding_buffer_scores,
     )
@@ -231,7 +232,7 @@ def streaming_sliding_buffer_events(spark: SparkSession, sf_dir: str) -> DataFra
         .outputMode("append")
         .start()
     )
-    q.awaitTermination(300)
+    await_streaming(q, 300)
     out = spark.read.parquet(sink)
     return out.select(
         "asset_id",
@@ -614,6 +615,7 @@ def streaming_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     that pushes the watermark past every real window so they all
     finalize (the sentinel's own window never emits); the trailing
     no-data micro-batch fires the remaining timeouts."""
+    from anomaly_detection_toolkit_spark.streaming import await_streaming
     from anomaly_detection_toolkit_spark.streaming.drift import (
         streaming_drift_scores,
     )
@@ -673,7 +675,7 @@ def streaming_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("append")
         .start()
     )
-    q.awaitTermination(300)
+    await_streaming(q, 300)
     out = spark.read.parquet(sink)
     return out.select(
         r4(F.col("window_start")).alias("window_start"),

@@ -21,11 +21,14 @@ LSTM/conv autoencoders back:
 
 ``model_factory() -> (windows: np.ndarray (n, w)) -> np.ndarray (n, w)``
 
-A zero-arg factory returning the reconstruction function. The factory
-runs ONCE PER EXECUTOR PYTHON WORKER (inside the Arrow-batched
-kernel, cached by closure), so heavyweight models are loaded
-worker-side instead of being pickled through the closure — the same
-shape as ``pyspark.ml.functions.predict_batch_udf``. The default
+A zero-arg factory returning the reconstruction function. Importable
+factories run ONCE PER EXECUTOR PYTHON WORKER (module-level cache in
+``_cached_model``); closure factories, which cannot be re-imported
+worker-side, are cached on the deserialized function object — once
+per task, amortized across all its groups. Either way heavyweight
+models are loaded worker-side instead of being pickled through the
+closure — the same shape as
+``pyspark.ml.functions.predict_batch_udf``. The default
 factory is an identity-on-scaled-windows model, which makes scores
 exactly |residual from window mean reconstruction| ≡ 0 — useful only
 for tests; real users plug in e.g.
@@ -51,6 +54,34 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 ModelFactory = Callable[[], Callable[[np.ndarray], np.ndarray]]
+
+# worker-process model cache: importable factories are cached by
+# qualified name for the lifetime of the Python worker (true
+# once-per-executor-worker loading); closure factories (qualname
+# contains '<locals>', not importable worker-side anyway) are cached
+# on the deserialized function object itself — once per task, which
+# still amortizes across every group the task processes.
+_WORKER_MODEL_CACHE: dict[tuple[str, str], Callable] = {}
+
+
+def _cached_model(factory: ModelFactory) -> Callable[[np.ndarray], np.ndarray]:
+    mod = getattr(factory, "__module__", "") or ""
+    qual = getattr(factory, "__qualname__", "") or ""
+    if mod and qual and "<locals>" not in qual and "<lambda>" not in qual:
+        key = (mod, qual)
+        model = _WORKER_MODEL_CACHE.get(key)
+        if model is None:
+            model = factory()
+            _WORKER_MODEL_CACHE[key] = model
+        return model
+    model = getattr(factory, "_adt_cached_model", None)
+    if model is None:
+        model = factory()
+        try:
+            factory._adt_cached_model = model  # type: ignore[attr-defined]
+        except AttributeError:
+            pass
+    return model
 
 
 def identity_model_factory() -> Callable[[np.ndarray], np.ndarray]:
@@ -170,7 +201,9 @@ class WindowedAutoencoderDetector:
         )
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            reconstruct = factory()  # once per group batch, executor-side
+            # cached worker-side: once per Python worker for importable
+            # factories, once per task for closures — never per group
+            reconstruct = _cached_model(factory)
             pdf = pdf.sort_values(order_col)
             sid = str(pdf[series_col].iloc[0])
             x = pdf[value_col].to_numpy(dtype=np.float64)

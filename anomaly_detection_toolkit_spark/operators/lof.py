@@ -106,11 +106,20 @@ def approx_lof(
         .select("id", "lof")
     )
     out = v.select("id").join(lof, "id", "left")
-    return out.select(
+    result = out.select(
         "id",
         "lof",
         F.when(F.col("lof").isNull() | (F.col("lof") > threshold), F.lit(-1))
         .otherwise(F.lit(1))
         .cast("int")
         .alias("verdict"),
-    )
+    ).persist()
+    # materialize the (narrow, one-row-per-vector) result, then
+    # RELEASE the heavyweight intermediates — repeated approx_lof
+    # calls in one session must not accumulate pair-join caches.
+    # The returned DataFrame stays cached (cheap: 3 columns); callers
+    # can .unpersist() it when done.
+    result.count()
+    knn.unpersist()
+    v.unpersist()
+    return result

@@ -50,6 +50,10 @@ def empty_metrics(spark: SparkSession) -> DataFrame:
 class CheckOutput:
     violations: DataFrame
     metrics: DataFrame
+    # caches the check created internally (tiny stats/grid tables);
+    # the suite runner folds these into SuiteResult.cached so
+    # result.unpersist() really releases everything the run holds
+    cached: tuple = ()
 
 
 class Check:
@@ -210,7 +214,7 @@ class ColumnStatsCheck(Check):
         m = metrics[0]
         for x in metrics[1:]:
             m = m.unionByName(x)
-        return CheckOutput(violations, m)
+        return CheckOutput(violations, m, cached=(stats,))
 
 
 # ---------------------------------------------------------------------------
@@ -516,6 +520,7 @@ class DriftCheck(Check):
             .agg(F.count(F.lit(1)).alias("c"))
             .persist()
         )
+        self._last_counts = counts
         parts = counts.select("column", "part").distinct()
         buckets = counts.select("column", "bucket").distinct()
         totals_p = counts.groupBy("column", "part").agg(F.sum("c").alias("tot_p"))
@@ -582,7 +587,9 @@ class DriftCheck(Check):
                 F.col("psi").cast("double").alias("value"),
             )
         )
-        return CheckOutput(violations, metrics)
+        return CheckOutput(
+            violations, metrics, cached=(drift, self._last_counts)
+        )
 
 
 def default_suite() -> list[Check]:

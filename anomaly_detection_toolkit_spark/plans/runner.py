@@ -102,6 +102,7 @@ def run_suite(
         out = check.run(df if check.needs_full_input else shared)
         v_list.append(out.violations)
         m_list.append(out.metrics)
+        cached = cached + tuple(out.cached)
     # persist the (sparse) violation rows: they feed both the verdict
     # grid aggregation and the violations sink — without this every
     # consumer would re-run all checks against the full input

@@ -120,11 +120,9 @@ def streaming_drift_scores(
     """(window_start, n, ks, psi, verdict) — one row per FINALIZED
     event-time window; a window emits when the watermark passes its
     end + delay, then its state is dropped."""
-    qty, unit = watermark_delay.split()
-    delay_s = float(qty) * {
-        "second": 1.0, "seconds": 1.0, "minute": 60.0, "minutes": 60.0,
-        "hour": 3600.0, "hours": 3600.0,
-    }[unit]
+    from anomaly_detection_toolkit_spark.streaming import parse_duration_s
+
+    delay_s = parse_duration_s(watermark_delay)
     src = (
         stream_df.select(
             (

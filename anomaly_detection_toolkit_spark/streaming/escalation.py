@@ -101,18 +101,12 @@ def streaming_check_thresholds(
     ``state_ttl`` (e.g. ``"1 hour"``): processing-time TTL after
     which an idle (asset, feature) key's running count is evicted.
     """
+    from anomaly_detection_toolkit_spark.streaming import parse_duration_s
+
     alerts = alert_rows(stream_df, thresholds, asset_col)
     ttl_ms: int | None = None
     if state_ttl is not None:
-        qty, unit = state_ttl.split()
-        ttl_ms = int(
-            float(qty)
-            * {
-                "second": 1.0, "seconds": 1.0, "minute": 60.0,
-                "minutes": 60.0, "hour": 3600.0, "hours": 3600.0,
-            }[unit]
-            * 1000
-        )
+        ttl_ms = int(parse_duration_s(state_ttl) * 1000)
 
     def fn(key, pdfs, state):
         return _escalate_group(key, pdfs, state, escalation or {}, ttl_ms)

@@ -152,13 +152,11 @@ def sliding_buffer_scores(
         F.col(ts_col).cast("double").alias("ts"),
         F.col(value_col).cast("double").alias("value"),
     )
+    from anomaly_detection_toolkit_spark.streaming import parse_duration_s
+
     late_delay_s: float | None = None
     if watermark_delay is not None:
-        qty, unit = watermark_delay.split()
-        late_delay_s = float(qty) * {
-            "second": 1.0, "seconds": 1.0, "minute": 60.0, "minutes": 60.0,
-            "hour": 3600.0, "hours": 3600.0,
-        }[unit]
+        late_delay_s = parse_duration_s(watermark_delay)
         src = src.withColumn(
             "_event_time", F.col("ts").cast("timestamp")
         ).withWatermark("_event_time", watermark_delay)

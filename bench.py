@@ -122,7 +122,11 @@ def main() -> None:
         timings["validation_suite_500k"] = round(sec_500k, 3)
         img_500k = round(n_500k / sec_500k, 1)
 
-    total = round(sum(timings.values()), 3)
+    # the 500k suite is an optional cache-dependent extra — keep it
+    # out of `total` so the headline is comparable across machines
+    total = round(
+        sum(v for k, v in timings.items() if k != "validation_suite_500k"), 3
+    )
     print(
         json.dumps(
             {

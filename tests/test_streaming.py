@@ -342,3 +342,16 @@ def test_streaming_drift_finalize_on_watermark(spark, tmp_path):
     assert bad.n == 20 and bad.verdict == -1
     assert bad.ks == pytest.approx(ks) and bad.psi == pytest.approx(psi)
     assert ks == pytest.approx(0.5)
+
+
+def test_parse_duration_matches_spark_interval_syntax():
+    from anomaly_detection_toolkit_spark.streaming import parse_duration_s
+
+    assert parse_duration_s("10 seconds") == 10.0
+    assert parse_duration_s("1 day") == 86400.0
+    assert parse_duration_s("500 milliseconds") == 0.5
+    assert parse_duration_s("1 hour 30 minutes") == 5400.0
+    with pytest.raises(ValueError):
+        parse_duration_s("10 fortnights")
+    with pytest.raises(ValueError):
+        parse_duration_s("10")
