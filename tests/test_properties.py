@@ -116,3 +116,73 @@ def test_zscore_affine_invariance_formula(xs):
     y = 3.7 * x + 11.0
     z2 = np.abs((y - y.mean()) / y.std())
     np.testing.assert_allclose(z1, z2, atol=1e-6)
+
+
+# --- round-2 additions: png / wav / symmetric DWT -------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_roundtrip_any_size(w, h, seed):
+    from anomaly_detection_toolkit_spark.functions import codecs
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(codecs.decode(codecs.encode(img, "png"), "png"), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=500,
+    ),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_quantization_bound(xs, rate):
+    from anomaly_detection_toolkit_spark.operators import multimodal as mm
+
+    x = np.asarray(xs)
+    dec, r = mm.decode_wav(mm.encode_wav(x, rate=rate))
+    assert r == rate and len(dec) == len(x)
+    np.testing.assert_allclose(dec, x, atol=1.5 / 32767)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(finite, min_size=8, max_size=300), st.sampled_from(["haar", "db4"]))
+def test_symmetric_dwt_perfect_reconstruction_property(xs, wname):
+    from anomaly_detection_toolkit_spark.operators import wavelet as wv
+
+    x = np.asarray(xs)
+    c = wv.wavedec(x, wname, level=3, mode="symmetric")
+    r = wv.waverec(c, wname, mode="symmetric")
+    np.testing.assert_allclose(r[: len(x)], x, atol=1e-7 * max(1.0, np.abs(x).max()))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from([0.0, 1.0, 2.0, 3.0]),
+        st.integers(min_value=0, max_value=50),
+        min_size=1,
+    )
+)
+def test_drift_stats_properties(hist):
+    """KS in [0,1]; identical distributions score 0; n sums counts."""
+    from anomaly_detection_toolkit_spark.streaming.drift import drift_stats
+
+    n_total = sum(hist.values())
+    baseline = (
+        {b: c / n_total for b, c in hist.items()} if n_total else {0.0: 1.0}
+    )
+    n, ks, psi = drift_stats(hist, baseline)
+    assert n == n_total
+    assert 0.0 <= ks <= 1.0 + 1e-12
+    if n_total:
+        assert ks == pytest.approx(0.0, abs=1e-12)
+        assert psi == pytest.approx(0.0, abs=1e-9)
