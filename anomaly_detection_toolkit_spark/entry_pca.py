@@ -122,3 +122,95 @@ def pca_recon2d_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return det.transform(feats).select(
         "id", r4(F.col("score")).alias("score"), "verdict"
     )
+
+
+# --- 8-D full-rank Mahalanobis, EXACT oracle: the correlation
+# matrix's inverse is computed INSIDE DuckDB by 8 Gauss-Jordan
+# elimination steps over the augmented (i, j, v) row form (C | I) —
+# no pivoting needed for a full-rank correlation matrix — then
+# score = sqrt((n-1)/n * z' C^-1 z) via an unpivoted z x M x z join.
+# Full rank k=d makes the score eigenbasis-invariant, so Spark's
+# eigh-based detector and the elimination-based oracle must agree. ---
+
+
+def _gauss_jordan_ctes(d: int) -> str:
+    steps = []
+    prev = "m0"
+    for k in range(d):
+        cur = f"m{k + 1}"
+        steps.append(f"""
+    {cur} AS MATERIALIZED (
+      SELECT m.i, m.j,
+             CASE WHEN m.i = {k} THEN m.v / p.piv
+                  ELSE m.v - ik.v * (kj.v / p.piv) END AS v
+      FROM {prev} m
+      JOIN (SELECT v AS piv FROM {prev} WHERE i = {k} AND j = {k}) p ON TRUE
+      JOIN (SELECT i, v FROM {prev} WHERE j = {k}) ik ON ik.i = m.i
+      JOIN (SELECT j, v FROM {prev} WHERE i = {k}) kj ON kj.j = m.j
+    )""")
+        prev = cur
+    return ",".join(steps), prev
+
+
+def _pca8_sql(d: int = 8) -> str:
+    feats = ", ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) AS x{i}" for i in range(d)
+    )
+    stats = ", ".join(
+        f"avg(x{i}) AS m{i}, stddev_pop(x{i}) AS s{i}" for i in range(d)
+    )
+    zcols = ", ".join(
+        f"(x{i} - m{i}) / (CASE WHEN s{i} = 0 THEN 1.0 ELSE s{i} END) AS z{i}"
+        for i in range(d)
+    )
+    # population correlation entries of the standardized features
+    corr_rows = " UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, avg(z{i} * z{j}) AS v FROM z"
+        for i in range(d)
+        for j in range(d)
+    )
+    ident = " UNION ALL ".join(
+        f"SELECT {i} AS i, {j + d} AS j, CAST({1 if i == j else 0} AS DOUBLE) AS v"
+        for i in range(d)
+        for j in range(d)
+    )
+    zu = " UNION ALL ".join(
+        f"SELECT id, {i} AS k, z{i} AS z FROM z" for i in range(d)
+    )
+    gj, last = _gauss_jordan_ctes(d)
+    return f"""
+    WITH f AS MATERIALIZED (SELECT vec_id AS id, {feats} FROM embeddings),
+    s AS MATERIALIZED (SELECT count(*) AS n, {stats} FROM f),
+    z AS MATERIALIZED (SELECT id, n, {zcols} FROM f, s),
+    corr AS MATERIALIZED ({corr_rows}),
+    m0 AS MATERIALIZED (SELECT * FROM corr UNION ALL {ident}),{gj},
+    inv AS MATERIALIZED (SELECT i, j - {d} AS j, v FROM {last} WHERE j >= {d}),
+    zu AS MATERIALIZED ({zu}),
+    q AS (
+      SELECT a.id, sum(a.z * inv.v * b.z) AS quad
+      FROM zu a
+      JOIN inv ON inv.i = a.k
+      JOIN zu b ON b.id = a.id AND b.k = inv.j
+      GROUP BY a.id
+    ),
+    sc AS (
+      SELECT q.id,
+             sqrt(greatest(((s.n - 1.0) / s.n) * q.quad, 0.0)) AS score
+      FROM q, s
+    ),
+    t AS (SELECT quantile_cont(score, 0.95) AS thr FROM sc)
+    SELECT id, round(score, 4) AS score,
+           CAST(CASE WHEN score > thr THEN -1 ELSE 1 END AS INTEGER) AS verdict
+    FROM sc, t
+    """
+
+
+@register("pca_maha8d_full_embeddings", _pca8_sql(8))
+def pca_maha8d_full_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _embedding_features(spark, sf_dir).withColumnRenamed("vec_id", "id")
+    det = PCADetector(n_components=_PCA_DIMS, score_method="mahalanobis").fit(
+        feats, [f"f{i}" for i in range(_PCA_DIMS)]
+    )
+    return det.transform(feats).select(
+        "id", r4(F.col("score")).alias("score"), "verdict"
+    )
