@@ -92,3 +92,71 @@ def robust_cov2d_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return det.transform(feats).select(
         "id", r4(F.col("score")).alias("score"), "verdict"
     )
+
+
+# --- 8-D full-support robust covariance, EXACT oracle: sample
+# covariance (ddof=1) inverted INSIDE DuckDB via the same
+# Gauss-Jordan CTE machinery as the PCA oracle; score =
+# sqrt(u' S^-1 u), u = x - mean. ---
+
+
+def _rc8_sql(d: int = 8) -> str:
+    from anomaly_detection_toolkit_spark.entry_pca import _gauss_jordan_ctes
+
+    feats = ", ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) AS x{i}" for i in range(d)
+    )
+    means = ", ".join(f"avg(x{i}) AS m{i}" for i in range(d))
+    ucols = ", ".join(f"x{i} - m{i} AS u{i}" for i in range(d))
+    cov_rows = " UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, covar_samp(x{i}, x{j}) AS v FROM f"
+        for i in range(d)
+        for j in range(d)
+    )
+    ident = " UNION ALL ".join(
+        f"SELECT {i} AS i, {j + d} AS j, CAST({1 if i == j else 0} AS DOUBLE) AS v"
+        for i in range(d)
+        for j in range(d)
+    )
+    uu = " UNION ALL ".join(
+        f"SELECT id, {i} AS k, u{i} AS u FROM z" for i in range(d)
+    )
+    gj, last = _gauss_jordan_ctes(d)
+    return f"""
+    WITH f AS MATERIALIZED (SELECT vec_id AS id, {feats} FROM embeddings),
+    s AS MATERIALIZED (SELECT {means} FROM f),
+    z AS MATERIALIZED (SELECT id, {ucols} FROM f, s),
+    cov AS MATERIALIZED ({cov_rows}),
+    m0 AS MATERIALIZED (SELECT * FROM cov UNION ALL {ident}),{gj},
+    inv AS MATERIALIZED (SELECT i, j - {d} AS j, v FROM {last} WHERE j >= {d}),
+    uu AS MATERIALIZED ({uu}),
+    q AS (
+      SELECT a.id, sum(a.u * inv.v * b.u) AS quad
+      FROM uu a
+      JOIN inv ON inv.i = a.k
+      JOIN uu b ON b.id = a.id AND b.k = inv.j
+      GROUP BY a.id
+    ),
+    sc AS (SELECT id, sqrt(greatest(quad, 0.0)) AS score FROM q),
+    t AS (SELECT quantile_cont(score, 0.95) AS thr FROM sc)
+    SELECT id, round(score, 4) AS score,
+           CAST(CASE WHEN score > thr THEN -1 ELSE 1 END AS INTEGER) AS verdict
+    FROM sc, t
+    """
+
+
+@register("robust_cov8d_embeddings", _rc8_sql(8))
+def robust_cov8d_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = load_table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("id"),
+        *[
+            F.col("embedding")[i].cast("double").alias(f"x{i}")
+            for i in range(8)
+        ],
+    )
+    det = RobustCovarianceDetector(
+        contamination=0.05, support_fraction=1.0, seed=42
+    ).fit(feats, [f"x{i}" for i in range(8)])
+    return det.transform(feats).select(
+        "id", r4(F.col("score")).alias("score"), "verdict"
+    )
