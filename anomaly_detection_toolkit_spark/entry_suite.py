@@ -74,8 +74,6 @@ def cube_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # derivation is replicated in DuckDB.
 # ---------------------------------------------------------------------------
 
-_H60_SPARK = None  # built inline below
-
 _SUITE_GRID_SQL = r"""
     WITH fact AS (
       SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_key,
