@@ -19,7 +19,7 @@ from anomaly_detection_toolkit_spark.sources.testdata import load_table
 
 # --- approximate LOF: SRP buckets + joins + windows are all ANSI-SQL ---
 
-_LOF_K, _LOF_THR, _LOF_PLANES, _LOF_DIM = 10, 1.5, 3, 64
+_LOF_K, _LOF_THR, _LOF_PLANES, _LOF_DIM = 10, 1.5, 4, 64
 
 
 def _lof_bucket_sql(alias: str) -> str:
