@@ -355,3 +355,35 @@ def test_parse_duration_matches_spark_interval_syntax():
         parse_duration_s("10 fortnights")
     with pytest.raises(ValueError):
         parse_duration_s("10")
+
+
+def test_streaming_escalation_with_ttl_config(spark, tmp_path):
+    """ProcessingTimeTimeout path: with a long TTL the counts behave
+    exactly like NoTimeout within the run (the TTL can't fire), but
+    the timeout plumbing (setTimeoutDuration, EventTime-free config)
+    must execute without error."""
+    from anomaly_detection_toolkit_spark.streaming.escalation import (
+        streaming_check_thresholds,
+    )
+
+    thresholds = {"temp": {"warning": 50.0}}
+    batches = [
+        [{"asset_id": "M1", "temp": 55.0}],
+        [{"asset_id": "M1", "temp": 60.0}],
+    ]
+    rows = _run_files(
+        spark,
+        tmp_path,
+        batches,
+        lambda s: streaming_check_thresholds(
+            s,
+            thresholds,
+            "asset_id",
+            escalation={"warning": {"min_count": 2}},
+            state_ttl="1 hour",
+        ),
+        "escttl",
+    )
+    by_val = {r.value: r for r in rows}
+    assert by_val[55.0].key_count == 1 and by_val[55.0].level == "warning"
+    assert by_val[60.0].key_count == 2 and by_val[60.0].level == "critical"
