@@ -146,6 +146,11 @@ def pm_prepare_features_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The stateful stream replay IS SQL-expressible for this fixture: ts
 # keys are strictly increasing per asset (rn/1e6 disambiguation), so
 # the deque replay equals a 20-row rolling window in event order.
+# The emitted time key is the INTEGER microsecond count
+# round(ts * 1e6) = ts0*1e6 + rn — never a half-way rounding case —
+# because round(ts, 4) put the 5th decimal at exactly 5 for every
+# rn ≡ 50 (mod 100) and Spark (HALF_UP) vs DuckDB (half-even)
+# disagreed on those rows (round-2 driver hash FAIL).
 _STREAM_W, _STREAM_THR, _STREAM_TAKE = 20, 2.5, 500
 
 _STREAM_SQL = f"""
@@ -168,7 +173,7 @@ _STREAM_SQL = f"""
                      ROWS BETWEEN {_STREAM_W - 1} PRECEDING AND CURRENT ROW)
     )
     SELECT asset_id,
-           round(ts, 4) AS ts,
+           CAST(round(ts * 1e6) AS BIGINT) AS ts_us,
            CASE WHEN rn < {_STREAM_W} THEN 'buffering' ELSE 'processed' END AS status,
            CAST(least(rn, {_STREAM_W}) AS INTEGER) AS buffer_size,
            CASE WHEN rn < {_STREAM_W} THEN NULL ELSE round(mu, 4) END AS win_mean,
@@ -189,8 +194,13 @@ _STREAM_SQL = f"""
 @register("streaming_sliding_buffer_events", _STREAM_SQL)
 def streaming_sliding_buffer_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replays 500 events per event_type through the REAL
-    applyInPandasWithState operator (availableNow trigger, parquet
-    sink) and returns the emitted status/score rows."""
+    applyInPandasWithState operator and returns the emitted
+    status/score rows. The replay is THREE files with pinned distinct
+    mtimes + maxFilesPerTrigger=1, so the driver gate exercises state
+    persistence across micro-batch boundaries (not just one batch)."""
+    import glob as _glob
+    import shutil as _shutil
+
     from anomaly_detection_toolkit_spark.streaming import await_streaming
     from anomaly_detection_toolkit_spark.streaming.ingestion import (
         sliding_buffer_scores,
@@ -214,13 +224,32 @@ def streaming_sliding_buffer_events(spark: SparkSession, sf_dir: str) -> DataFra
         # disambiguate duplicate timestamps so the per-batch sort in
         # the stream operator is deterministic
         .withColumn("ts", F.col("ts") + F.col("rn") / 1e6)
-        .select("asset_id", "ts", "value")
+        .select("asset_id", "ts", "value", "rn")
+        .persist()
     )
     tmp = tempfile.mkdtemp(prefix="adt_stream_")
     src, sink, ckpt = (os.path.join(tmp, d) for d in ("in", "out", "ckpt"))
-    events.coalesce(1).write.mode("overwrite").json(src)
+    os.makedirs(src)
+    # rn-range chunks keep each asset's rows in event order across
+    # batches; distinct pinned mtimes make micro-batch order
+    # deterministic (file source processes oldest-first)
+    base_t = 1_000_000_000.0
+    for i, (lo, hi) in enumerate(((1, 167), (168, 334), (335, 500))):
+        stage = os.path.join(tmp, f"stage{i}")
+        (
+            events.filter((F.col("rn") >= lo) & (F.col("rn") <= hi))
+            .drop("rn")
+            .coalesce(1)
+            .write.json(stage)
+        )
+        (part,) = _glob.glob(os.path.join(stage, "part-*.json"))
+        dst = os.path.join(src, f"b{i}.json")
+        _shutil.move(part, dst)
+        os.utime(dst, (base_t + i * 60, base_t + i * 60))
+    events.unpersist()
     stream = (
         spark.readStream.schema("asset_id string, ts double, value double")
+        .option("maxFilesPerTrigger", 1)
         .json(src)
     )
     q = (
@@ -234,9 +263,11 @@ def streaming_sliding_buffer_events(spark: SparkSession, sf_dir: str) -> DataFra
     )
     await_streaming(q, 300)
     out = spark.read.parquet(sink)
+    # integer microsecond key: ts*1e6 is within ±0.3 of the exact
+    # integer ts0*1e6 + rn on both engines, so round() is unambiguous
     return out.select(
         "asset_id",
-        r4(F.col("ts")).alias("ts"),
+        F.round(F.col("ts") * 1e6).cast("bigint").alias("ts_us"),
         "status",
         "buffer_size",
         r4(F.col("win_mean")).alias("win_mean"),
@@ -433,10 +464,27 @@ def pm_process_pipeline_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pm_rul_model_lineitem")  # rows-only: RF training not in SQL
-def pm_rul_model_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ops 48-49 end to end: engineer features, train the Spark ML RUL
-    regressor + failure classifier on lineitem-as-asset-panel, score."""
+# RF training itself is genuinely non-SQL, but its CONTRACT is: one
+# scored row per input row, rul_pred clipped ≥ 0
+# (predictive_maintenance.py:326), failure_pred ∈ {0,1},
+# failure_proba ∈ [0,1]. Those invariants ARE oracle-checkable: the
+# query emits per-row invariant bits, the oracle reproduces the key
+# multiset with all-ones bits — hash-green iff every scored row
+# satisfies the model contract over the full panel. Prediction VALUE
+# determinism (pinned seeds, same session) is pinned by
+# tests/test_pm_models.py.
+_RUL_MODEL_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           CAST(1 AS INTEGER) AS rul_nonneg,
+           CAST(1 AS INTEGER) AS pred_is_binary,
+           CAST(1 AS INTEGER) AS proba_in_range
+    FROM lineitem
+"""
+
+
+def _fit_rul_models(spark: SparkSession, sf_dir: str):
+    """Shared ops-48/49 pipeline: engineer features, train the Spark
+    ML RUL regressor + failure classifier, score every panel row."""
     from anomaly_detection_toolkit_spark.operators.pm_models import (
         FailureClassifier,
         RULEstimator,
@@ -460,13 +508,24 @@ def pm_rul_model_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     clf = FailureClassifier(n_estimators=20, max_depth=6).fit(
         feats, fcols, "binary_label"
     )
-    out = clf.predict(est.predict(feats))
+    return clf.predict(est.predict(feats))
+
+
+@register("pm_rul_model_lineitem", _RUL_MODEL_SQL)
+def pm_rul_model_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 48-49 end to end under the HARD gate (see _RUL_MODEL_SQL):
+    train + score, then project each scored row's contract-invariant
+    bits. A model bug (negative RUL, non-binary class, proba outside
+    [0,1], dropped/duplicated rows) breaks the value hash."""
+    out = _fit_rul_models(spark, sf_dir)
     return out.select(
         "l_orderkey",
         "l_linenumber",
-        r4(F.col("rul_pred")).alias("rul_pred"),
-        "failure_pred",
-        r4(F.col("failure_proba")).alias("failure_proba"),
+        (F.col("rul_pred") >= 0).cast("int").alias("rul_nonneg"),
+        F.col("failure_pred").isin(0, 1).cast("int").alias("pred_is_binary"),
+        (
+            (F.col("failure_proba") >= 0) & (F.col("failure_proba") <= 1)
+        ).cast("int").alias("proba_in_range"),
     )
 
 

@@ -36,12 +36,22 @@ def northstar_suite_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # cube-shaped drift report: counts by (event_type, hour) with all
 # rollup combinations — exercises the grouping-sets surface of the
-# engine (SURVEY §2.11 aggregations)
+# engine (SURVEY §2.11 aggregations).
+# The value aggregate is an EXACT integer sum of per-row 1e-4
+# quantized values (floor(v*1e4 + 0.5) is bit-identical across
+# engines on identical input doubles), NOT round(avg(value), 4): a
+# grouped float mean is summation-order-dependent (±1ulp under
+# AQE/partitioning), and the round-3 audit found a knife-edge row
+# where Spark (decimal-repr HALF_UP) and DuckDB (binary rounding)
+# would diverge on a 1ulp nudge. Consumers derive the mean as
+# sum_value_e4 / (1e4 * n_values).
 _CUBE_SQL = """
     SELECT coalesce(event_type, '<all>') AS event_type,
            coalesce(CAST(hour(ts) AS INTEGER), -1) AS hour_of_day,
            CAST(count(*) AS BIGINT) AS n,
-           round(avg(value), 4) AS mean_value
+           CAST(count(value) AS BIGINT) AS n_values,
+           CAST(sum(CAST(floor(value * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_e4
     FROM events
     GROUP BY CUBE (event_type, hour(ts))
 """
@@ -52,15 +62,21 @@ def cube_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anomaly_detection_toolkit_spark.sources.testdata import load_table
 
     df = load_table(spark, "events", sf_dir)
+    v = F.col("value").cast("double")
     out = (
         df.cube("event_type", F.hour("ts").alias("hour_of_day"))
-        .agg(F.count(F.lit(1)).alias("n"), r4(F.avg("value")).alias("mean_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(v).alias("n_values"),
+            F.sum(F.floor(v * 1e4 + 0.5).cast("bigint")).alias("sum_value_e4"),
+        )
     )
     return out.select(
         F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
         F.coalesce(F.col("hour_of_day"), F.lit(-1)).cast("int").alias("hour_of_day"),
         "n",
-        "mean_value",
+        "n_values",
+        "sum_value_e4",
     )
 
 

@@ -62,11 +62,20 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
             sa = pd.to_numeric(sv, errors="coerce").to_numpy(dtype=float)
             da = pd.to_numeric(dv, errors="coerce").to_numpy(dtype=float)
             both_nan = np.isnan(sa) & np.isnan(da)
-            close = np.isclose(sa, da, rtol=1e-9, atol=1e-9) | both_nan
-            if not close.all():
-                idx = int(np.argmin(close))
+            # EXACT bitwise equality — the driver's value hash is
+            # exact, and isclose(rtol=1e-9) on epoch-magnitude floats
+            # tolerated ±1.7 absolute (it passed the round-2
+            # streaming_sliding_buffer pair the driver failed).
+            # isclose stays as a secondary diagnostic so near-misses
+            # are labelled differently from gross mismatches.
+            exact = (sa == da) | both_nan
+            if not exact.all():
+                idx = int(np.argmin(exact))
+                close = np.isclose(sa, da, rtol=1e-9, atol=1e-9) | both_nan
+                kind = "near-miss (isclose OK)" if close.all() else "gross"
                 problems.append(
-                    f"col {c}: {int((~close).sum())} mismatches; first at sorted row "
+                    f"col {c}: {int((~exact).sum())} exact mismatches ({kind}); "
+                    f"first at sorted row "
                     f"{idx}: spark={sa[idx]!r} duck={da[idx]!r}"
                 )
         else:
