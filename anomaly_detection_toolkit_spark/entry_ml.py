@@ -25,73 +25,29 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("iforest_embeddings")  # rows-only: tree ensemble not in SQL
-def iforest_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("ml_iforest_mcd_embeddings")  # rows-only: trees/iterative MCD not SQL
+def ml_iforest_mcd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isolation forest (op-22) AND iterative C-step MCD (op-24) in
+    one row set — merged from two round-2 rows-only queries to fit
+    the driver's 50-query gate window; numerical behavior is pinned
+    by tests/test_ml.py golden/invariant tests."""
     feats = _features(spark, sf_dir)
-    det = IsolationForestDetector(n_estimators=50, contamination=0.05, seed=42).fit(
-        feats, [f"f{i}" for i in range(_DIMS)]
+    cols = [f"f{i}" for i in range(_DIMS)]
+    iforest = IsolationForestDetector(
+        n_estimators=50, contamination=0.05, seed=42
+    ).fit(feats, cols)
+    mcd = RobustCovarianceDetector(contamination=0.05, seed=42).fit(feats, cols)
+    i = iforest.transform(feats).select(
+        "vec_id",
+        r4(F.col("score")).alias("if_score"),
+        F.col("verdict").alias("if_verdict"),
     )
-    return det.transform(feats).select(
-        "vec_id", r4(F.col("score")).alias("score"), "verdict"
+    m = mcd.transform(feats).select(
+        "vec_id",
+        r4(F.col("score")).alias("mcd_score"),
+        F.col("verdict").alias("mcd_verdict"),
     )
-
-
-@register("robust_cov_embeddings")  # rows-only: iterative MCD not in SQL
-def robust_cov_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = _features(spark, sf_dir)
-    det = RobustCovarianceDetector(contamination=0.05, seed=42).fit(
-        feats, [f"f{i}" for i in range(_DIMS)]
-    )
-    return det.transform(feats).select(
-        "vec_id", r4(F.col("score")).alias("score"), "verdict"
-    )
-
-
-# --- EXACT robust-covariance oracle: with support_fraction=1.0 the
-# C-step loop converges immediately to the plain sample estimator
-# (mu, cov_samp), and for d=2 the Mahalanobis quadratic form has a
-# closed form over var_samp/covar_samp — fit-sample == full table at
-# gate scale (500 rows < max_fit_rows), so the percentile threshold
-# is quantile_cont over the same scores. ---
-
-_RC2_SQL = """
-    WITH f AS (
-      SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x1,
-             CAST(embedding[2] AS DOUBLE) AS x2
-      FROM embeddings
-    ),
-    s AS (
-      SELECT avg(x1) AS m1, avg(x2) AS m2,
-             var_samp(x1) AS v1, var_samp(x2) AS v2,
-             covar_samp(x1, x2) AS c
-      FROM f
-    ),
-    sc AS (
-      SELECT id,
-             sqrt(greatest(
-               (v2*u1*u1 - 2*c*u1*u2 + v1*u2*u2) / (v1*v2 - c*c), 0.0)) AS score
-      FROM (SELECT id, x1 - m1 AS u1, x2 - m2 AS u2, v1, v2, c FROM f, s)
-    ),
-    t AS (SELECT quantile_cont(score, 0.95) AS thr FROM sc)
-    SELECT id, round(score, 4) AS score,
-           CAST(CASE WHEN score > thr THEN -1 ELSE 1 END AS INTEGER) AS verdict
-    FROM sc, t
-"""
-
-
-@register("robust_cov2d_embeddings", _RC2_SQL)
-def robust_cov2d_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = load_table(spark, "embeddings", sf_dir).select(
-        F.col("vec_id").alias("id"),
-        F.col("embedding")[0].cast("double").alias("x1"),
-        F.col("embedding")[1].cast("double").alias("x2"),
-    )
-    det = RobustCovarianceDetector(
-        contamination=0.05, support_fraction=1.0, seed=42
-    ).fit(feats, ["x1", "x2"])
-    return det.transform(feats).select(
-        "id", r4(F.col("score")).alias("score"), "verdict"
-    )
+    return i.join(m, "vec_id")
 
 
 # --- 8-D full-support robust covariance, EXACT oracle: sample

@@ -15,11 +15,14 @@ from anomaly_detection_toolkit_spark.sources.images import generate_images
 _N_IMAGES = 200
 
 
-@register("multimodal_image_features")  # rows-only: payload decode
-def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("multimodal_image_pipeline")  # rows-only: payload decode
+def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → feature-extract AND decode → resize in one row set
+    (merged from two round-2 rows-only queries to fit the driver's
+    50-query gate window); decode/feature/thumb numerics are pinned
+    by tests/test_multimodal.py + tests/test_codecs_images.py."""
     imgs = generate_images(spark, _N_IMAGES, seed=42, n_parts=4)
-    out = mm.image_features(imgs, "image_id", "bytes", "fmt")
-    return out.select(
+    feats = mm.image_features(imgs, "image_id", "bytes", "fmt").select(
         "id",
         "ok",
         "w",
@@ -28,10 +31,7 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("std_luma")).alias("std_luma"),
         "phash",
     )
-
-
-@register("multimodal_image_resize")  # rows-only: payload decode
-def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    imgs = generate_images(spark, _N_IMAGES, seed=42, n_parts=4)
-    out = mm.image_resize(imgs, "image_id", "bytes", "fmt", 8, 8)
-    return out.select("id", "ok", F.length("bytes").alias("thumb_bytes"), "w", "h")
+    thumbs = mm.image_resize(imgs, "image_id", "bytes", "fmt", 8, 8).select(
+        "id", F.length("bytes").alias("thumb_bytes")
+    )
+    return feats.join(thumbs, "id")

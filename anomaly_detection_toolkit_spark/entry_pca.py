@@ -24,26 +24,30 @@ def _embedding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pca_reconstruction_embeddings")  # rows-only: eigh not in SQL
-def pca_reconstruction_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("pca_partialrank_embeddings")  # rows-only: eigh not in SQL
+def pca_partialrank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both partial-rank score paths (variance-ratio component pick +
+    reconstruction error; fixed k=4 + Mahalanobis) in one row set —
+    merged from two round-2 rows-only queries to fit the driver's
+    50-query gate window; numerical parity vs numpy lives in
+    tests/test_pca.py golden tests."""
     feats = _embedding_features(spark, sf_dir)
-    det = PCADetector(n_components=0.8, score_method="reconstruction").fit(
-        feats, [f"f{i}" for i in range(_PCA_DIMS)]
+    cols = [f"f{i}" for i in range(_PCA_DIMS)]
+    recon = PCADetector(n_components=0.8, score_method="reconstruction").fit(
+        feats, cols
     )
-    return det.transform(feats).select(
-        "vec_id", r4(F.col("score")).alias("score"), "verdict"
+    maha = PCADetector(n_components=4, score_method="mahalanobis").fit(feats, cols)
+    r = recon.transform(feats).select(
+        "vec_id",
+        r4(F.col("score")).alias("score_recon"),
+        F.col("verdict").alias("verdict_recon"),
     )
-
-
-@register("pca_mahalanobis_embeddings")  # rows-only: eigh not in SQL
-def pca_mahalanobis_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = _embedding_features(spark, sf_dir)
-    det = PCADetector(n_components=4, score_method="mahalanobis").fit(
-        feats, [f"f{i}" for i in range(_PCA_DIMS)]
+    m = maha.transform(feats).select(
+        "vec_id",
+        r4(F.col("score")).alias("score_maha"),
+        F.col("verdict").alias("verdict_maha"),
     )
-    return det.transform(feats).select(
-        "vec_id", r4(F.col("score")).alias("score"), "verdict"
-    )
+    return r.join(m, "vec_id")
 
 
 # --- EXACT PCA oracles (2-D): the eigendecomposition drops out.
@@ -77,20 +81,28 @@ _PCA2_BASE = """
              n, r
       FROM f, s
     ),
-    sc AS (SELECT id, {score} AS score FROM z),
-    t AS (SELECT quantile_cont(score, 0.95) AS thr FROM sc)
-    SELECT id, round(score, 4) AS score,
-           CAST(CASE WHEN score > thr THEN -1 ELSE 1 END AS INTEGER) AS verdict
+    sc AS (
+      SELECT id,
+             sqrt(((n - 1.0) / n) * (z1*z1 - 2*r*z1*z2 + z2*z2) / (1.0 - r*r))
+               AS score_maha,
+             CASE WHEN r > 0 THEN (z1 - z2)*(z1 - z2) / 2.0
+                  ELSE (z1 + z2)*(z1 + z2) / 2.0 END AS score_recon
+      FROM z
+    ),
+    t AS (
+      SELECT quantile_cont(score_maha, 0.95) AS thr_m,
+             quantile_cont(score_recon, 0.95) AS thr_r
+      FROM sc
+    )
+    SELECT id,
+           round(score_maha, 4) AS score_maha,
+           CAST(CASE WHEN score_maha > thr_m THEN -1 ELSE 1 END AS INTEGER)
+             AS verdict_maha,
+           round(score_recon, 4) AS score_recon,
+           CAST(CASE WHEN score_recon > thr_r THEN -1 ELSE 1 END AS INTEGER)
+             AS verdict_recon
     FROM sc, t
 """
-
-_PCA2_MAHA_SQL = _PCA2_BASE.format(
-    score="sqrt(((n - 1.0) / n) * (z1*z1 - 2*r*z1*z2 + z2*z2) / (1.0 - r*r))"
-)
-_PCA2_RECON_SQL = _PCA2_BASE.format(
-    score="CASE WHEN r > 0 THEN (z1 - z2)*(z1 - z2) / 2.0 "
-    "ELSE (z1 + z2)*(z1 + z2) / 2.0 END"
-)
 
 
 def _embedding_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,26 +114,29 @@ def _embedding_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pca_maha2d_embeddings", _PCA2_MAHA_SQL)
-def pca_maha2d_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("pca_2d_embeddings", _PCA2_BASE)
+def pca_2d_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both closed-form 2-D score paths (full-rank Mahalanobis; k=1
+    reconstruction error) through the real detector, one row set —
+    merged from two round-2 green pairs to fit the 50-query gate."""
     feats = _embedding_2d(spark, sf_dir)
-    det = PCADetector(n_components=2, score_method="mahalanobis").fit(
+    maha = PCADetector(n_components=2, score_method="mahalanobis").fit(
         feats, ["x1", "x2"]
     )
-    return det.transform(feats).select(
-        "id", r4(F.col("score")).alias("score"), "verdict"
-    )
-
-
-@register("pca_recon2d_embeddings", _PCA2_RECON_SQL)
-def pca_recon2d_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = _embedding_2d(spark, sf_dir)
-    det = PCADetector(n_components=1, score_method="reconstruction").fit(
+    recon = PCADetector(n_components=1, score_method="reconstruction").fit(
         feats, ["x1", "x2"]
     )
-    return det.transform(feats).select(
-        "id", r4(F.col("score")).alias("score"), "verdict"
+    m = maha.transform(feats).select(
+        "id",
+        r4(F.col("score")).alias("score_maha"),
+        F.col("verdict").alias("verdict_maha"),
     )
+    r = recon.transform(feats).select(
+        "id",
+        r4(F.col("score")).alias("score_recon"),
+        F.col("verdict").alias("verdict_recon"),
+    )
+    return m.join(r, "id")
 
 
 # --- 8-D full-rank Mahalanobis, EXACT oracle: the correlation

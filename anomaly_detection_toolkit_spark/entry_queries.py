@@ -367,3 +367,36 @@ from anomaly_detection_toolkit_spark import entry_ml  # noqa: E402,F401
 from anomaly_detection_toolkit_spark import entry_multimodal  # noqa: E402,F401
 from anomaly_detection_toolkit_spark import entry_models  # noqa: E402,F401
 from anomaly_detection_toolkit_spark import entry_suite  # noqa: E402,F401
+
+# The driver's correctness gate checks the FIRST 50 registered
+# queries (round 2 silently dropped the 7 registered last, including
+# the flagship verdict-grid oracle). The registry is consolidated to
+# exactly 50 pairs AND reordered so the heavyweight / previously
+# unchecked queries register first — defense in depth if a future
+# round adds pairs without re-counting.
+_GATE_CAP = 50
+_PRIORITY = [
+    "northstar_suite_verdicts",
+    "suite_grid_documents",
+    "streaming_drift_events",
+    "autoencoder_seam_events",
+    "pm_process_pipeline_lineitem",
+    "cube_report_events",
+    "pm_rul_model_lineitem",
+]
+
+
+def _reorder_registry() -> None:
+    ordered = [n for n in _PRIORITY if n in QUERIES]
+    ordered += [n for n in QUERIES if n not in ordered]
+    if len(ordered) > _GATE_CAP:  # pragma: no cover - guarded by tests
+        raise RuntimeError(
+            f"{len(ordered)} queries registered but the driver gate checks "
+            f"only the first {_GATE_CAP}: merge or retire pairs"
+        )
+    reordered = {n: QUERIES[n] for n in ordered}
+    QUERIES.clear()
+    QUERIES.update(reordered)
+
+
+_reorder_registry()
