@@ -129,9 +129,18 @@ def main() -> None:
     total = round(
         sum(v for k, v in timings.items() if k != "validation_suite_500k"), 3
     )
+    # full per-query timing map goes to a FILE: the round-2 headline
+    # line carried 57 query timings (~2.3 KB) and overflowed the
+    # driver's tail capture (BENCH_r02.json "parsed": null)
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "queries_latest.json").write_text(
+        json.dumps({"sf": sf, "cpus": cpus, "queries": timings}, indent=1)
+    )
     # stop the JVM BEFORE printing: stray executor log lines (GC
     # warnings etc.) on stdout after the JSON would corrupt a
-    # take-the-last-line parse of the bench output
+    # take-the-last-line parse of the bench output. The headline line
+    # itself stays COMPACT (<300 bytes) so tail capture can't cut it.
     spark.stop()
     print(
         json.dumps(
@@ -139,12 +148,20 @@ def main() -> None:
                 "metric": "validation suite + driver queries wall-time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {
+                    "validation_suite": timings["validation_suite"],
+                    **(
+                        {"validation_suite_500k": timings["validation_suite_500k"]}
+                        if "validation_suite_500k" in timings
+                        else {}
+                    ),
+                },
                 "sf": sf,
                 "images": n_img,
                 "images_per_sec": round(n_img / suite_sec, 1),
                 **({"images_per_sec_500k": img_500k} if img_500k else {}),
                 "cpus": cpus,
+                "per_query_file": "BENCH/queries_latest.json",
             }
         )
     )
