@@ -35,7 +35,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from anomaly_detection_toolkit_spark.operators.similarity import plane_signs, srp_bucket
+from anomaly_detection_toolkit_spark.operators.similarity import (
+    auto_n_planes,
+    plane_signs,
+    srp_bucket,
+)
 
 
 def _sq_dist(a, b):
@@ -50,15 +54,31 @@ def approx_lof(
     df: DataFrame,
     k: int = 10,
     threshold: float = 1.5,
-    n_planes: int = 3,
+    n_planes: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket_rows: int = 256,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """(id, lof, verdict) for every vector with ≥1 bucket neighbor;
     isolated vectors (alone in their bucket) get lof NULL and verdict
     -1 — no neighborhood evidence means "suspicious" at validation
-    time, and the NULL channel keeps them distinguishable."""
+    time, and the NULL channel keeps them distinguishable.
+
+    The returned DataFrame is already materialized (localCheckpoint)
+    and owns NO persisted intermediates — repeated calls in one
+    session do not accumulate cache.
+
+    ``n_planes=None`` (default) derives the plane count from the
+    input size so expected bucket size ≈ ``target_bucket_rows``: the
+    within-bucket pair join then does ~N·target comparisons (linear
+    in N) instead of N²/2^planes with a fixed plane count — the
+    100×-scale fix from the round-2 audit. ``n_rows_hint`` skips the
+    sizing count() when the caller knows N."""
+    if n_planes is None:
+        n = n_rows_hint if n_rows_hint is not None else df.count()
+        n_planes = auto_n_planes(n, target_bucket_rows)
     planes = plane_signs(n_planes, dim)
     # v feeds both sides of the self-join plus the final left join, and
     # knn feeds kdist, reach, AND the lof aggregation. Spark re-executes
@@ -113,13 +133,17 @@ def approx_lof(
         .otherwise(F.lit(1))
         .cast("int")
         .alias("verdict"),
-    ).persist()
-    # materialize the (narrow, one-row-per-vector) result, then
-    # RELEASE the heavyweight intermediates — repeated approx_lof
-    # calls in one session must not accumulate pair-join caches.
-    # The returned DataFrame stays cached (cheap: 3 columns); callers
-    # can .unpersist() it when done.
-    result.count()
+    )
+    # Materialize the (narrow, one-row-per-vector) result via an
+    # EAGER localCheckpoint, then RELEASE the heavyweight
+    # intermediates — repeated approx_lof calls in one session must
+    # not accumulate pair-join caches, and unlike persist() the
+    # checkpoint blocks are freed automatically by the ContextCleaner
+    # when the returned DataFrame is garbage-collected (no caller-side
+    # unpersist contract). localCheckpoint trades executor-loss
+    # recoverability for speed; acceptable for a derived score table
+    # that can be recomputed by re-calling approx_lof.
+    result = result.localCheckpoint(eager=True)
     knn.unpersist()
     v.unpersist()
     return result

@@ -50,14 +50,38 @@ def _collect_sample(
     df: DataFrame, cols: Sequence[str], max_rows: int, seed: int
 ) -> np.ndarray:
     """Bounded driver-side sample as a float64 matrix (NaN rows
-    dropped). Uses count→fraction so the sample is ≤ ~max_rows even
-    at 10^12 input rows."""
-    n = df.count()
-    frac = min(1.0, (max_rows * 1.2) / max(n, 1))
-    sdf = df.select(*[F.col(c).cast("double") for c in cols])
-    if frac < 1.0:
-        sdf = sdf.sample(fraction=frac, seed=seed)
-    x = sdf.limit(max_rows).toPandas().to_numpy(dtype=np.float64)
+    dropped) in ONE scan — no count() pre-pass (the round-2 audit's
+    extra-scan finding).
+
+    Every row gets a deterministic priority = 60-bit md5 of its
+    seed-salted feature values; the global ``max_rows``
+    smallest-priority rows are taken via sort+limit, which Catalyst
+    plans as TakeOrderedAndProject (per-partition top-k, then a
+    single bounded merge — no full shuffle). Because the priority is
+    derived from VALUES, not partition layout, the sample is
+    identical under any repartitioning/cluster layout — the old
+    ``sample().limit()`` pattern was layout-dependent. Rows with
+    identical feature values share a priority and enter/leave the
+    sample together; acceptable for sample-fit detectors (documented
+    bias toward treating duplicates atomically)."""
+    vals = [F.col(c).cast("double") for c in cols]
+    prio = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(",", F.lit(str(seed)), *[v.cast("string") for v in vals])),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sdf = df.select(*vals, prio.alias("_prio"))
+    x = (
+        sdf.orderBy("_prio")
+        .limit(max_rows)
+        .drop("_prio")
+        .toPandas()
+        .to_numpy(dtype=np.float64)
+    )
     return x[~np.isnan(x).any(axis=1)]
 
 

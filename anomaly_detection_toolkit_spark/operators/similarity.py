@@ -33,6 +33,32 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def auto_n_planes(
+    n_rows: int,
+    target_bucket_rows: int = 256,
+    min_planes: int = 2,
+    max_planes: int = 24,
+) -> int:
+    """Plane count that keeps the EXPECTED SRP bucket size near
+    ``target_bucket_rows``: 2^planes ≈ n_rows / target.
+
+    Why this matters at 100 TB: with a FIXED plane count the
+    within-bucket self-join does ~N²/2^planes pair evaluations —
+    still quadratic in N (the round-2 scale audit's one weak plan).
+    Deriving planes from N makes candidates-per-row ≈ target (a
+    constant), so total pair work grows ~linearly with the corpus.
+    The trade is recall: more planes → more boundary misses; recover
+    recall with multiple hash tables (union of pair sets) if needed.
+    """
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return min_planes
+    return max(
+        min_planes, min(max_planes, math.ceil(math.log2(n_rows / target_bucket_rows)))
+    )
+
+
 def plane_signs(n_planes: int, dim: int) -> list[list[int]]:
     """Deterministic ±1 hyperplane matrix (n_planes × dim), derived
     from md5 so the SQL oracle can re-derive the identical planes."""
@@ -132,15 +158,26 @@ def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket_rows: int = 256,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine rerank restricted to the
     query's SRP-LSH bucket. One bucket-equi-join (broadcast query
     side) instead of a full cross product — corpus scan cost drops by
-    ~2^n_planes; recall is whatever the bucket captures."""
+    ~2^n_planes; recall is whatever the bucket captures.
+
+    ``n_planes=None`` (default) derives the plane count from the
+    corpus size so expected bucket size ≈ ``target_bucket_rows`` —
+    candidates-per-query stays ~constant as the corpus grows (see
+    ``auto_n_planes``). Pass ``n_rows_hint`` to skip the sizing
+    count() when the caller already knows the corpus size."""
+    if n_planes is None:
+        n = n_rows_hint if n_rows_hint is not None else corpus.count()
+        n_planes = auto_n_planes(n, target_bucket_rows)
     planes = plane_signs(n_planes, dim)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -174,10 +211,12 @@ def lsh_topk(
 def embedding_near_dup_pairs(
     df: DataFrame,
     min_cosine: float = 0.95,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket_rows: int = 256,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b) with
     cosine ≥ min_cosine, candidate-limited to shared SRP buckets.
@@ -186,7 +225,15 @@ def embedding_near_dup_pairs(
     the same bucket with high probability; the miss rate is the
     standard LSH recall trade, recoverable with multiple tables.
     Shuffle: one self-join keyed on bucket (small fan-out).
+
+    ``n_planes=None`` (default) sizes the plane count from the input
+    so the within-bucket self-join stays ~linear in N (expected
+    bucket ≈ ``target_bucket_rows``; see ``auto_n_planes``) instead
+    of N²/2^planes with a fixed count.
     """
+    if n_planes is None:
+        n = n_rows_hint if n_rows_hint is not None else df.count()
+        n_planes = auto_n_planes(n, target_bucket_rows)
     planes = plane_signs(n_planes, dim)
     v = df.select(
         F.col(id_col).alias("id"),

@@ -48,6 +48,7 @@ def _process_group(
     window_size: int,
     threshold: float,
     late_delay_s: float | None = None,
+    ttl_s: float | None = None,
 ) -> Iterator[pd.DataFrame]:
     (asset_id,) = key
     if state.hasTimedOut:
@@ -106,12 +107,12 @@ def _process_group(
             out["score"].append(score)
             out["verdict"].append(-1 if score > threshold else 1)
     state.update((tss, vals, max_ts))
-    if late_delay_s is not None:
+    if ttl_s is not None:
         # EventTimeTimeout: evict this asset's buffer once the global
         # watermark passes (its newest point + TTL). Clamped above the
         # current watermark — Spark rejects timeouts at/behind it.
         wm_ms = state.getCurrentWatermarkMs()
-        timeout_ms = max(int((max_ts + late_delay_s) * 1000), wm_ms + 1)
+        timeout_ms = max(int((max_ts + ttl_s) * 1000), wm_ms + 1)
         state.setTimeoutTimestamp(timeout_ms)
     yield pd.DataFrame(out)
 
@@ -124,6 +125,7 @@ def sliding_buffer_scores(
     ts_col: str = "ts",
     value_col: str = "value",
     watermark_delay: str | None = None,
+    ttl_eviction: bool = False,
 ) -> DataFrame:
     """Stateful sliding-window scoring over a streaming DataFrame.
 
@@ -135,15 +137,22 @@ def sliding_buffer_scores(
     delay are DROPPED before they reach the buffer — the documented
     upgrade over the reference's deque, which appends arbitrarily late
     points in arrival order (``predictive_maintenance.py:1153-1184``).
-    The drop is enforced inside the state function for the PER-ASSET
-    high-water mark; additionally, because the operator runs with
-    ``EventTimeTimeout`` when a watermark is set, Spark itself
-    late-filters input rows at/behind the GLOBAL watermark before
-    they reach the state fn. State for assets idle past
-    (their newest point + delay) is evicted via the event-time
-    timeout, bounding the state store under asset churn. Without a
-    delay the operator reproduces the reference's
-    fold-in-arrival-order behaviour exactly (NoTimeout, no eviction).
+    The drop is enforced inside the state function, so it is purely
+    per-asset: a slow-but-in-order asset is never affected by faster
+    assets. Without a delay the operator reproduces the reference's
+    fold-in-arrival-order behaviour exactly.
+
+    State eviction is OPT-IN via ``ttl_eviction=True`` (requires
+    ``watermark_delay``): the operator then runs with
+    ``EventTimeTimeout``, evicting an asset's buffer once the GLOBAL
+    watermark passes (its newest point + delay) — bounding the state
+    store under asset churn. CAVEAT (the reason this is opt-in):
+    under EventTimeTimeout Spark ALSO late-filters input rows
+    at/behind the global watermark before the state fn, coupling
+    assets — a slow-but-in-order asset's rows are silently discarded
+    once faster assets advance the watermark. ``watermark_delay``
+    alone keeps the decoupled per-asset policy (NoTimeout,
+    no eviction, no global-watermark input filtering).
     """
     from pyspark.sql import functions as F
 
@@ -154,6 +163,9 @@ def sliding_buffer_scores(
     )
     from anomaly_detection_toolkit_spark.streaming import parse_duration_s
 
+    if ttl_eviction and watermark_delay is None:
+        raise ValueError("ttl_eviction=True requires watermark_delay")
+
     late_delay_s: float | None = None
     if watermark_delay is not None:
         late_delay_s = parse_duration_s(watermark_delay)
@@ -161,16 +173,18 @@ def sliding_buffer_scores(
             "_event_time", F.col("ts").cast("timestamp")
         ).withWatermark("_event_time", watermark_delay)
 
-    def fn(key, pdfs, state):
-        return _process_group(key, pdfs, state, window_size, threshold, late_delay_s)
+    # the state fn only arms setTimeoutTimestamp when eviction is on
+    # (calling it under NoTimeout raises)
+    ttl_s = late_delay_s if ttl_eviction else None
 
-    # With a watermark, per-asset state carries an event-time TTL —
-    # idle assets are evicted once the watermark passes their newest
-    # point + delay, keeping the state store bounded under asset
-    # churn. Without one there is no watermark to time out against.
+    def fn(key, pdfs, state):
+        return _process_group(
+            key, pdfs, state, window_size, threshold, late_delay_s, ttl_s
+        )
+
     timeout = (
         GroupStateTimeout.EventTimeTimeout
-        if watermark_delay is not None
+        if ttl_eviction
         else GroupStateTimeout.NoTimeout
     )
     return src.groupBy("asset_id").applyInPandasWithState(

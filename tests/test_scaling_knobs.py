@@ -1,0 +1,133 @@
+"""Round-3 scale-parameterization tests.
+
+1. SRP-LSH auto plane sizing: with ``n_planes=None`` the candidate
+   work per row must stay ~constant as N grows 10× (with a FIXED
+   plane count it grows ~10× — the round-2 audit's residual
+   quadratic).
+2. ``_collect_sample``: ONE scan (no count() pre-pass) and
+   layout-independent (identical sample under repartitioning).
+3. ``sliding_buffer_scores``: ttl_eviction requires a watermark.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_toolkit_spark.operators import similarity as sim
+
+DIM = 8
+
+
+def _emb(spark, n: int):
+    """Deterministic pseudo-random centered vectors (layout-free)."""
+    frac = lambda c: c - F.floor(c)  # noqa: E731
+    cols = [
+        (frac(F.sin(F.col("id") * (12.9898 + 7.77 * d)) * 43758.5453) * 2 - 1)
+        .cast("double")
+        for d in range(DIM)
+    ]
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), F.array(*cols).alias("embedding")
+    )
+
+
+def _avg_candidates(spark, n: int, n_planes: int) -> float:
+    """E[|bucket of a random row|] = Σ b_i² / N — the per-row
+    candidate count of the within-bucket self-join, from the bucket
+    histogram alone (no pair join needed)."""
+    planes = sim.plane_signs(n_planes, DIM)
+    counts = (
+        _emb(spark, n)
+        .select(sim.srp_bucket(F.col("embedding"), planes).alias("b"))
+        .groupBy("b")
+        .count()
+    )
+    row = counts.agg(
+        F.sum(F.col("count") * F.col("count")).alias("ss"),
+        F.sum("count").alias("n"),
+    ).first()
+    return row["ss"] / row["n"]
+
+
+def test_auto_n_planes_formula():
+    assert sim.auto_n_planes(100, target_bucket_rows=256) == 2  # min clamp
+    assert sim.auto_n_planes(256 * 16, target_bucket_rows=256) == 4
+    assert sim.auto_n_planes(10**12, target_bucket_rows=256) == 24  # max clamp
+    # monotone in N
+    prev = 0
+    for n in (10**3, 10**5, 10**7, 10**9):
+        cur = sim.auto_n_planes(n, target_bucket_rows=256)
+        assert cur >= prev
+        prev = cur
+
+
+def test_auto_planes_keep_candidate_work_linear(spark):
+    n_small, n_big = 2_000, 20_000
+    target = 64
+    a = _avg_candidates(spark, n_small, sim.auto_n_planes(n_small, target))
+    b = _avg_candidates(spark, n_big, sim.auto_n_planes(n_big, target))
+    # fixed planes would give b ≈ 10a; auto keeps per-row candidate
+    # work bounded (pair work ~linear in N). 4× margin absorbs real
+    # bucket imbalance.
+    assert b < 4 * a
+    # and the fixed-plane counterfactual really is ~10×, so the test
+    # is measuring the thing it claims to measure
+    fixed = sim.auto_n_planes(n_small, target)
+    b_fixed = _avg_candidates(spark, n_big, fixed)
+    assert b_fixed > 5 * a
+
+
+def test_lsh_topk_auto_planes_end_to_end(spark):
+    """Default (auto) plane count still finds the planted near-dup."""
+    base = _emb(spark, 500)
+    dup = base.filter(F.col("vec_id") == 7).select(
+        F.lit(9999).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.0001).alias("embedding"),
+    )
+    corpus = base.unionByName(dup)
+    q = corpus.filter(F.col("vec_id") == 9999)
+    out = sim.lsh_topk(corpus, q, k=3, dim=DIM).collect()
+    assert out and out[0].neighbor_id == 7
+
+
+def test_collect_sample_no_count_and_layout_independent(spark, monkeypatch):
+    from pyspark.sql import DataFrame
+
+    from anomaly_detection_toolkit_spark.operators.ml import _collect_sample
+
+    rng = np.random.default_rng(3)
+    rows = [(float(a), float(b)) for a, b in rng.standard_normal((300, 2))]
+    df = spark.createDataFrame(rows, "f0 double, f1 double")
+
+    def _boom(self):  # pragma: no cover - fails the test if called
+        raise AssertionError("count() must not run inside _collect_sample")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    x1 = _collect_sample(df, ["f0", "f1"], max_rows=100, seed=1)
+    x2 = _collect_sample(df.repartition(7), ["f0", "f1"], max_rows=100, seed=1)
+    monkeypatch.undo()
+    assert x1.shape == (100, 2)
+    # value-derived priorities → identical sample under any layout
+    assert np.array_equal(np.sort(x1, axis=0), np.sort(x2, axis=0))
+    # different seed → different sample (the salt is live)
+    x3 = _collect_sample(df, ["f0", "f1"], max_rows=100, seed=2)
+    assert not np.array_equal(np.sort(x1, axis=0), np.sort(x3, axis=0))
+
+
+def test_ttl_eviction_requires_watermark(spark):
+    from anomaly_detection_toolkit_spark.streaming.ingestion import (
+        sliding_buffer_scores,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            F.lit("a").alias("asset_id"),
+            F.col("timestamp").cast("double").alias("ts"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    with pytest.raises(ValueError, match="watermark_delay"):
+        sliding_buffer_scores(stream, ttl_eviction=True)

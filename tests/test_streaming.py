@@ -216,7 +216,8 @@ def test_event_time_ttl_evicts_idle_asset(spark, tmp_path):
         tmp_path,
         batches,
         lambda s: sliding_buffer_scores(
-            s, window_size=5, threshold=3.0, watermark_delay="10 seconds"
+            s, window_size=5, threshold=3.0, watermark_delay="10 seconds",
+            ttl_eviction=True,
         ),
         "ttlbuf",
     )
