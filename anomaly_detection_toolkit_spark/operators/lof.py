@@ -60,6 +60,7 @@ def approx_lof(
     vec_col: str = "embedding",
     target_bucket_rows: int = 256,
     n_rows_hint: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """(id, lof, verdict) for every vector with ≥1 bucket neighbor;
     isolated vectors (alone in their bucket) get lof NULL and verdict
@@ -75,11 +76,13 @@ def approx_lof(
     within-bucket pair join then does ~N·target comparisons (linear
     in N) instead of N²/2^planes with a fixed plane count — the
     100×-scale fix from the round-2 audit. ``n_rows_hint`` skips the
-    sizing count() when the caller knows N."""
+    sizing count() when the caller knows N. ``n_tables`` > 1 unions
+    neighbor candidates from independent plane sets (dedup on
+    (id, nid)) — the standard recall recovery when high plane counts
+    split true neighborhoods across bucket boundaries."""
     if n_planes is None:
         n = n_rows_hint if n_rows_hint is not None else df.count()
         n_planes = auto_n_planes(n, target_bucket_rows)
-    planes = plane_signs(n_planes, dim)
     # v feeds both sides of the self-join plus the final left join, and
     # knn feeds kdist, reach, AND the lof aggregation. Spark re-executes
     # self-referenced subtrees (no plan-level CSE — see CLAUDE.md), so
@@ -87,16 +90,28 @@ def approx_lof(
     v = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+        *[
+            srp_bucket(F.col(vec_col), plane_signs(n_planes, dim, table=t)).alias(
+                f"bucket{t}"
+            )
+            for t in range(n_tables)
+        ],
     ).persist()
     a, b = v.alias("a"), v.alias("b")
-    pairs = a.join(
-        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id"))
-    ).select(
-        F.col("a.id").alias("id"),
-        F.col("b.id").alias("nid"),
-        F.sqrt(_sq_dist(F.col("a.vec"), F.col("b.vec"))).alias("d"),
-    )
+    pairs = None
+    for t in range(n_tables):
+        part = a.join(
+            b,
+            (F.col(f"a.bucket{t}") == F.col(f"b.bucket{t}"))
+            & (F.col("a.id") != F.col("b.id")),
+        ).select(
+            F.col("a.id").alias("id"),
+            F.col("b.id").alias("nid"),
+            F.sqrt(_sq_dist(F.col("a.vec"), F.col("b.vec"))).alias("d"),
+        )
+        pairs = part if pairs is None else pairs.unionByName(part)
+    if n_tables > 1:
+        pairs = pairs.dropDuplicates(["id", "nid"])
     # rank on round(d, 6) with id tie-break: float-summation order
     # differs ~1ulp across engines/plans, and the DuckDB oracle must
     # select the identical neighbor set (same trick as similarity.py)

@@ -59,14 +59,18 @@ def auto_n_planes(
     )
 
 
-def plane_signs(n_planes: int, dim: int) -> list[list[int]]:
+def plane_signs(n_planes: int, dim: int, table: int = 0) -> list[list[int]]:
     """Deterministic ±1 hyperplane matrix (n_planes × dim), derived
-    from md5 so the SQL oracle can re-derive the identical planes."""
+    from md5 so the SQL oracle can re-derive the identical planes.
+    ``table`` salts the derivation for multi-table LSH (table 0 keeps
+    the original ``plane_{p}_{i}`` keys, so existing oracles and
+    buckets are unchanged)."""
     planes = []
     for p in range(n_planes):
         row = []
         for i in range(dim):
-            d = hashlib.md5(f"plane_{p}_{i}".encode()).hexdigest()
+            key = f"plane_{p}_{i}" if table == 0 else f"plane_t{table}_{p}_{i}"
+            d = hashlib.md5(key.encode()).hexdigest()
             row.append(1 if int(d[0], 16) % 2 == 0 else -1)
         planes.append(row)
     return planes
@@ -164,6 +168,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     target_bucket_rows: int = 256,
     n_rows_hint: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: exact cosine rerank restricted to the
     query's SRP-LSH bucket. One bucket-equi-join (broadcast query
@@ -174,29 +179,41 @@ def lsh_topk(
     corpus size so expected bucket size ≈ ``target_bucket_rows`` —
     candidates-per-query stays ~constant as the corpus grows (see
     ``auto_n_planes``). Pass ``n_rows_hint`` to skip the sizing
-    count() when the caller already knows the corpus size."""
+    count() when the caller already knows the corpus size.
+
+    ``n_tables`` > 1 unions candidates from that many INDEPENDENT
+    plane sets before the rerank — the standard LSH recall recovery
+    at high plane counts: miss probability per true neighbor drops
+    from p to p^T at T× candidate cost (each table is one more
+    bucket equi-join; the rerank dedups pairs first)."""
     if n_planes is None:
         n = n_rows_hint if n_rows_hint is not None else corpus.count()
         n_planes = auto_n_planes(n, target_bucket_rows)
-    planes = plane_signs(n_planes, dim)
-    c = corpus.select(
+    c0 = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cn"),
-        srp_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    q = queries.select(
+    q0 = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         norm(F.col(vec_col)).alias("qn"),
-        srp_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    cand = None
+    for t in range(n_tables):
+        planes = plane_signs(n_planes, dim, table=t)
+        c = c0.withColumn("bucket", srp_bucket(F.col("cv"), planes))
+        q = q0.withColumn("bucket", srp_bucket(F.col("qv"), planes))
+        part = (
+            c.join(F.broadcast(q), "bucket")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .drop("bucket")
         )
+        cand = part if cand is None else cand.unionByName(part)
+    if n_tables > 1:
+        cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.withColumn(
+        "cosine_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cosine_sim"), 6).desc(), F.col("neighbor_id")
@@ -217,14 +234,17 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     target_bucket_rows: int = 256,
     n_rows_hint: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b) with
     cosine ≥ min_cosine, candidate-limited to shared SRP buckets.
 
     SRP is sign-preserving, so truly near-identical vectors land in
     the same bucket with high probability; the miss rate is the
-    standard LSH recall trade, recoverable with multiple tables.
-    Shuffle: one self-join keyed on bucket (small fan-out).
+    standard LSH recall trade, recoverable with ``n_tables`` > 1
+    (union of candidates from independent plane sets, deduped before
+    scoring: per-pair miss probability p drops to p^T at T× join
+    cost). Shuffle: one self-join keyed on bucket per table.
 
     ``n_planes=None`` (default) sizes the plane count from the input
     so the within-bucket self-join stays ~linear in N (expected
@@ -234,25 +254,34 @@ def embedding_near_dup_pairs(
     if n_planes is None:
         n = n_rows_hint if n_rows_hint is not None else df.count()
         n_planes = auto_n_planes(n, target_bucket_rows)
-    planes = plane_signs(n_planes, dim)
-    v = df.select(
+    v0 = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         norm(F.col(vec_col)).alias("nrm"),
-        srp_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    a = v.alias("a")
-    b = v.alias("b")
-    return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn(
-            "cosine_sim",
-            dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm")),
-        )
-        .filter(F.col("cosine_sim") >= min_cosine)
-        .select(
+    cand = None
+    for t in range(n_tables):
+        planes = plane_signs(n_planes, dim, table=t)
+        v = v0.withColumn("bucket", srp_bucket(F.col("vec"), planes))
+        a, b = v.alias("a"), v.alias("b")
+        part = a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        ).select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            "cosine_sim",
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.nrm").alias("nb"),
         )
+        cand = part if cand is None else cand.unionByName(part)
+    if n_tables > 1:
+        cand = cand.dropDuplicates(["id_a", "id_b"])
+    return (
+        cand.withColumn(
+            "cosine_sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cosine_sim") >= min_cosine)
+        .select("id_a", "id_b", "cosine_sim")
     )

@@ -131,3 +131,71 @@ def test_ttl_eviction_requires_watermark(spark):
     )
     with pytest.raises(ValueError, match="watermark_delay"):
         sliding_buffer_scores(stream, ttl_eviction=True)
+
+
+def test_multi_table_lsh_recovers_recall(spark):
+    """High plane counts split true neighborhoods across bucket
+    boundaries; unioning T independent tables must recover top-1
+    recall vs brute force (p_miss -> p_miss^T)."""
+    corpus = _emb(spark, 1000)
+    queries = corpus.filter(F.col("vec_id") < 60)
+    truth = {
+        r.query_id: r.neighbor_id
+        for r in sim.brute_force_topk(corpus, queries, k=1).collect()
+    }
+
+    def recall(n_tables):
+        got = {
+            r.query_id: r.neighbor_id
+            for r in sim.lsh_topk(
+                corpus, queries, k=1, n_planes=6, dim=DIM, n_tables=n_tables
+            ).collect()
+        }
+        return sum(got.get(q) == n for q, n in truth.items()) / len(truth)
+
+    r1, r4 = recall(1), recall(4)
+    assert r1 < 1.0  # single-table misses exist, so the test is live
+    assert r4 > r1
+    assert r4 >= 0.8
+
+
+def test_multi_table_near_dup_and_lof_consistent(spark):
+    """n_tables > 1 must be a superset-recall, duplicate-free change:
+    near-dup pairs with T=3 contain the T=1 pairs exactly once, and
+    approx_lof with T=2 still returns one row per vector."""
+    from anomaly_detection_toolkit_spark.operators.lof import approx_lof
+
+    df = _emb(spark, 400)
+    p1 = {(r.id_a, r.id_b) for r in
+          sim.embedding_near_dup_pairs(df, min_cosine=0.9, n_planes=5, dim=DIM).collect()}
+    rows3 = sim.embedding_near_dup_pairs(
+        df, min_cosine=0.9, n_planes=5, dim=DIM, n_tables=3
+    ).collect()
+    p3 = [(r.id_a, r.id_b) for r in rows3]
+    assert len(p3) == len(set(p3))  # deduped
+    assert p1 <= set(p3)  # superset recall
+
+    out = approx_lof(df, k=5, n_planes=4, dim=DIM, n_tables=2)
+    assert out.count() == 400
+    assert out.select("id").distinct().count() == 400
+
+
+def test_collect_sample_plans_as_take_ordered(spark):
+    """The bounded sample must compile to TakeOrderedAndProject
+    (per-partition top-k + bounded merge), not a global Sort+Exchange
+    — the plan that makes one-scan sampling safe at 10^12 rows."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(
+        (F.col("id") * 1.0).alias("f0"), (F.col("id") * 2.0).alias("f1")
+    )
+    prio = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(",", F.lit("1"), F.col("f0").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    q = df.select("f0", "f1", prio.alias("_p")).orderBy("_p").limit(100).drop("_p")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
