@@ -29,7 +29,166 @@ def suite_verdicts(spark: SparkSession, n_images: int = 2000, n_parts: int = 4) 
     return result.verdicts.orderBy("part", "check")
 
 
-@register("northstar_suite_verdicts")  # rows-only: payload decode in plan
+# GROUND-TRUTH oracle for the flagship: the generator's defect
+# positions and metadata columns are pure integer arithmetic over the
+# row index (sources/images.py:make_row), so DuckDB can reconstruct
+# the EXPECTED (part × check) verdict grid from range(n) alone — no
+# pixel decode needed. A hash match proves the engine flagged exactly
+# the planted defects end to end, INCLUDING the payload-decode path
+# (corrupt/null payload rows only reach the expected counts if the
+# codecs actually decode and fail where they must).
+#
+# Two documented dataset-level facts the oracle relies on (both pinned
+# by tests/test_validation.py::test_northstar_oracle_assumptions so a
+# generator/codec change breaks tests, not the driver gate):
+#  1. no NATURAL phash collisions among the 1990 non-hot rows at
+#     (n=2000, seed=42) — 64-bit content hashes, p(collision) ≈ 1e-13;
+#  2. the phash-mod-64 drift histogram stays below the 0.15 KS
+#     threshold for every part (near-uniform by construction), so only
+#     w/h/fmt contribute drift warnings.
+#
+# Defect arithmetic replicated below (images.py:150-187):
+#   part = i // 500 (n=2000, n_parts=4); part 3 is the drifted slice.
+#   dup_image_id   i % 401 == 17 (i>0) → row copies src=i-1 entirely
+#   hot_phash      i % 211 == 13       → phash := HOT constant
+#   orphan_caption i % 499 == 23       → caption references missing id
+#   corrupt_bytes  i % 547 == 29       → decode fails
+#   null_bytes     i % 601 == 31       → decode fails (null payload)
+#   null_dims      i % 653 == 37       → w/h NULL (column-stats breach)
+#   caption_bad    i % 719 == 41       → caption mismatch
+#   w = sizes[((src*2654435761)>>8) % |sizes|], h likewise with >>16;
+#   fmt = FORMATS[(src*7+3) % 5] clean, 'lossyq' drifted; the fmt
+#   drift buckets are crc32(fmt) — embedded as literals below.
+_NORTHSTAR_SQL = """
+    WITH rws AS (
+      SELECT CAST(i AS BIGINT) AS i,
+             CAST(i // 500 AS INTEGER) AS part,
+             CASE WHEN i % 401 = 17 AND i > 0 THEN i - 1 ELSE i END AS src,
+             (i % 401 = 17 AND i > 0) AS is_dup,
+             (i // 500 = 3) AS drifted,
+             (i % 211 = 13) AS is_hot,
+             (i % 499 = 23) AS is_orph,
+             (i % 547 = 29) AS is_corrupt,
+             (i % 601 = 31) AS is_nullb,
+             (i % 653 = 37) AS is_nulldim,
+             (i % 719 = 41) AS is_capbad
+      FROM range(0, 2000) t(i)
+    ),
+    meta AS (
+      SELECT rws.*,
+             (is_dup OR coalesce(
+                lead(is_dup) OVER (ORDER BY i), FALSE)) AS in_dup_group,
+             CASE WHEN is_nulldim THEN NULL
+                  WHEN drifted THEN (CASE WHEN ((src * 2654435761) >> 8) % 2 = 0
+                                          THEN 96 ELSE 128 END)
+                  ELSE (CASE ((src * 2654435761) >> 8) % 3
+                        WHEN 0 THEN 32 WHEN 1 THEN 48 ELSE 64 END)
+             END AS w,
+             CASE WHEN is_nulldim THEN NULL
+                  WHEN drifted THEN (CASE WHEN ((src * 2654435761) >> 16) % 2 = 0
+                                          THEN 96 ELSE 128 END)
+                  ELSE (CASE ((src * 2654435761) >> 16) % 3
+                        WHEN 0 THEN 32 WHEN 1 THEN 48 ELSE 64 END)
+             END AS h,
+             CASE WHEN drifted THEN 'lossyq'
+                  ELSE (CASE (src * 7 + 3) % 5
+                        WHEN 0 THEN 'raw' WHEN 1 THEN 'ppm' WHEN 2 THEN 'bmp'
+                        WHEN 3 THEN 'png' ELSE 'lossyq' END)
+             END AS fmt
+      FROM rws
+    ),
+    cs AS (  -- column_stats: w/h null-rate 0.001 breached per part
+      SELECT part,
+             CAST(CASE WHEN sum(CASE WHEN is_nulldim THEN 1 ELSE 0 END) * 1.0
+                            / count(*) > 0.001 THEN 2 ELSE 0 END AS BIGINT) AS n_err
+      FROM meta GROUP BY part
+    ),
+    uid AS (  -- uniqueness_image_id: every member row of a dup-id group
+      SELECT part, CAST(count(*) AS BIGINT) AS n_err
+      FROM meta WHERE in_dup_group GROUP BY part
+    ),
+    uph AS (  -- uniqueness_phash: hot-key group + dup pairs (copy phash)
+      SELECT part, CAST(count(*) AS BIGINT) AS n_err
+      FROM meta WHERE is_hot OR in_dup_group GROUP BY part
+    ),
+    refc AS (
+      SELECT part, CAST(count(*) AS BIGINT) AS n_err
+      FROM meta WHERE is_orph GROUP BY part
+    ),
+    pay AS (  -- payload: decode failures + caption mismatches
+      SELECT part,
+             CAST(sum(CASE WHEN is_corrupt OR is_nullb THEN 1 ELSE 0 END)
+                + sum(CASE WHEN is_capbad OR is_orph THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_err
+      FROM meta GROUP BY part
+    ),
+    db AS (  -- drift histograms (NULL dims excluded, as in DriftCheck)
+      SELECT part, 'w' AS col, CAST(w AS DOUBLE) AS bucket FROM meta
+      WHERE w IS NOT NULL
+      UNION ALL
+      SELECT part, 'h', CAST(h AS DOUBLE) FROM meta WHERE h IS NOT NULL
+      UNION ALL
+      SELECT part, 'fmt',
+             CAST(CASE fmt WHEN 'raw' THEN 447994709 WHEN 'ppm' THEN 3079460177
+                  WHEN 'bmp' THEN 876913290 WHEN 'png' THEN 2199389072
+                  ELSE 592761968 END AS DOUBLE)
+      FROM meta
+    ),
+    cnt AS (SELECT col, part, bucket, count(*) AS c FROM db GROUP BY 1, 2, 3),
+    pgrid AS (
+      SELECT p.col, p.part, b.bucket, coalesce(c.c, 0) AS c
+      FROM (SELECT DISTINCT col, part FROM cnt) p
+      JOIN (SELECT DISTINCT col, bucket FROM cnt) b USING (col)
+      LEFT JOIN cnt c ON c.col = p.col AND c.part = p.part AND c.bucket = b.bucket
+    ),
+    en AS (
+      SELECT col, part, bucket,
+             CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY col, part) AS p,
+             CAST(sum(c) OVER (PARTITION BY col, bucket) AS DOUBLE)
+               / sum(c) OVER (PARTITION BY col) AS q
+      FROM pgrid
+    ),
+    ks AS (
+      SELECT col, part, max(abs(cdf_p - cdf_q)) AS ks FROM (
+        SELECT col, part,
+               sum(p) OVER (PARTITION BY col, part ORDER BY bucket) AS cdf_p,
+               sum(q) OVER (PARTITION BY col, part ORDER BY bucket) AS cdf_q
+        FROM en
+      ) GROUP BY col, part
+    ),
+    dw AS (SELECT part, CAST(count(*) AS BIGINT) AS n_warn
+           FROM ks WHERE ks > 0.15 GROUP BY part),
+    parts AS (SELECT DISTINCT part FROM meta),
+    checks(check_name) AS (
+      VALUES ('schema'), ('column_stats'), ('uniqueness_image_id'),
+             ('uniqueness_phash'), ('referential_caption'), ('drift'),
+             ('payload')
+    )
+    SELECT part, "check", n_errors, n_warnings,
+           CAST(CASE WHEN n_errors > 0 THEN -1 ELSE 1 END AS INTEGER) AS verdict
+    FROM (
+      SELECT g.part, g.check_name AS "check",
+             CAST(CASE g.check_name
+                  WHEN 'column_stats' THEN coalesce(cs.n_err, 0)
+                  WHEN 'uniqueness_image_id' THEN coalesce(uid.n_err, 0)
+                  WHEN 'uniqueness_phash' THEN coalesce(uph.n_err, 0)
+                  WHEN 'referential_caption' THEN coalesce(refc.n_err, 0)
+                  WHEN 'payload' THEN coalesce(pay.n_err, 0)
+                  ELSE 0 END AS BIGINT) AS n_errors,
+             CAST(CASE g.check_name WHEN 'drift' THEN coalesce(dw.n_warn, 0)
+                  ELSE 0 END AS BIGINT) AS n_warnings
+      FROM (SELECT part, check_name FROM parts CROSS JOIN checks) g
+      LEFT JOIN cs ON cs.part = g.part
+      LEFT JOIN uid ON uid.part = g.part
+      LEFT JOIN uph ON uph.part = g.part
+      LEFT JOIN refc ON refc.part = g.part
+      LEFT JOIN pay ON pay.part = g.part
+      LEFT JOIN dw ON dw.part = g.part
+    )
+"""
+
+
+@register("northstar_suite_verdicts", _NORTHSTAR_SQL)
 def northstar_suite_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suite_verdicts(spark)
 

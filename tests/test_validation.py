@@ -161,3 +161,38 @@ def test_resumable_ledger(spark, tmp_path):
     led.save(state)
     r4 = R.run_validation_job(spark, src, out, checks=suite)
     assert r4 is not None and r4.parts_checked == [0, 1, 2, 3]
+
+
+def test_northstar_oracle_assumptions(spark):
+    """Pin the two dataset-level facts the flagship's ground-truth
+    DuckDB oracle (entry_suite._NORTHSTAR_SQL) relies on at the
+    contract configuration (n=2000, seed=42, n_parts=4):
+
+    1. the only repeated phash values are the injected hot-key group
+       (i % 211 == 13) and the dup-image pairs (i % 401 == 17) — no
+       NATURAL 64-bit collisions among clean rows;
+    2. the phash-mod-64 histogram's per-part KS vs global stays below
+       the 0.15 drift threshold, so only w/h/fmt drift-warn.
+    """
+    import numpy as np
+
+    df = images.generate_images(spark, 2000, seed=42, n_parts=4)
+    pdf = df.select("phash", "part").toPandas()
+    # -- fact 1: dup-group membership is exactly hot ∪ dup-pairs
+    counts = pdf["phash"].value_counts()
+    dup_rows = int(counts[counts > 1].sum())
+    hot = [i for i in range(2000) if i % 211 == 13]
+    pairs = [i for i in range(1, 2000) if i % 401 == 17]
+    assert int(counts.max()) == len(hot)  # the hot group is the biggest
+    assert dup_rows == len(hot) + 2 * len(pairs)
+    # -- fact 2: phash-mod-64 per-part KS below threshold
+    pdf["bucket"] = pdf["phash"] % 64
+    glob = pdf["bucket"].value_counts(normalize=True).sort_index()
+    buckets = glob.index
+    gcdf = np.cumsum(glob.reindex(buckets, fill_value=0.0).to_numpy())
+    for part, grp in pdf.groupby("part"):
+        p = grp["bucket"].value_counts(normalize=True).reindex(
+            buckets, fill_value=0.0
+        ).sort_index()
+        ks = float(np.max(np.abs(np.cumsum(p.to_numpy()) - gcdf)))
+        assert ks < 0.15, f"part {part} phash KS {ks}"
