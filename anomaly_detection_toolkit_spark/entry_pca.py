@@ -1,8 +1,12 @@
 """Driver-contract queries for the PCA detector (SURVEY §2 ops
-15-21). Eigendecomposition is not ANSI-SQL-expressible, so these are
-rows-only checks (the driver's weaker gate); exact numerical parity
-vs the reference math is covered by ``tests/test_pca.py`` golden
-tests against a numpy re-implementation."""
+15-21). All three rows are under the driver's HARD hash gate: the 2-D
+and full-rank-8-D scores have closed forms, and the partial-rank 8-D
+row's eigendecomposition runs INSIDE DuckDB via unrolled cyclic
+Jacobi rotations (``_jacobi_ctes``) — quadratic convergence makes 6
+sweeps (168 rotations) exact to well below the round(.,4) grid, and
+convergence speed is eigen-gap-independent (unlike power iteration).
+Exact numerical parity vs the reference math is additionally covered
+by ``tests/test_pca.py`` golden tests against numpy."""
 
 from __future__ import annotations
 
@@ -24,12 +28,182 @@ def _embedding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pca_partialrank_embeddings")  # rows-only: eigh not in SQL
+# --- partial-rank 8-D oracle: eigh IN DuckDB via unrolled Jacobi ---
+#
+# Cyclic Jacobi diagonalization of the 8x8 correlation matrix: per
+# rotation (p,q) a `rot` CTE derives (c, s) from the classic
+# tau = cot(2θ) = (aqq-app)/(2·apq) smaller-root formula, an `a` CTE
+# applies the full two-sided similarity update (A' = GᵀAG, A'[p,q]
+# set to exactly 0), and a `v` CTE accumulates the eigenvector basis
+# (V' = VG). 6 sweeps × 28 pivots = 168 rotations; Jacobi's
+# quadratic convergence puts the off-diagonal mass near 1e-16 —
+# orders below the round(.,4) grid — and is INDEPENDENT of the
+# eigenvalue gaps (the sf0.01 spectrum's smallest gap is 0.0086, so
+# the top-k pick is also stable across engines). Downstream the SQL
+# replays PCADetector exactly: variance-ratio pick
+# k = searchsorted_right(cum_ratio, 0.8)+1 for reconstruction,
+# fixed k=4 with λ·n/(n-1) (np.cov ddof) weights for Mahalanobis,
+# and quantile_cont(0.95) thresholds.
+
+
+def _jacobi_ctes(d: int, sweeps: int) -> tuple[str, str, str]:
+    ctes = []
+    a_prev, v_prev = "a0", "v0"
+    t = 0
+    for _ in range(sweeps):
+        for p in range(d):
+            for q in range(p + 1, d):
+                t += 1
+                rot, a_cur, v_cur = f"rot{t}", f"a{t}", f"v{t}"
+                ctes.append(f"""
+    {rot} AS MATERIALIZED (
+      SELECT app, aqq, apq, c, s FROM (
+        SELECT app, aqq, apq,
+               CASE WHEN apq = 0 THEN 1.0
+                    ELSE 1.0 / sqrt(1.0 + tt * tt) END AS c,
+               CASE WHEN apq = 0 THEN 0.0
+                    ELSE tt / sqrt(1.0 + tt * tt) END AS s
+        FROM (
+          SELECT app, aqq, apq,
+                 CASE WHEN apq = 0 THEN 0.0
+                      WHEN tau >= 0 THEN 1.0 / (tau + sqrt(1.0 + tau * tau))
+                      ELSE 1.0 / (tau - sqrt(1.0 + tau * tau)) END AS tt
+          FROM (
+            SELECT
+              (SELECT v FROM {a_prev} WHERE i = {p} AND j = {p}) AS app,
+              (SELECT v FROM {a_prev} WHERE i = {q} AND j = {q}) AS aqq,
+              (SELECT v FROM {a_prev} WHERE i = {p} AND j = {q}) AS apq,
+              CASE WHEN (SELECT v FROM {a_prev} WHERE i = {p} AND j = {q}) = 0
+                   THEN 0.0
+                   ELSE ((SELECT v FROM {a_prev} WHERE i = {q} AND j = {q})
+                       - (SELECT v FROM {a_prev} WHERE i = {p} AND j = {p}))
+                      / (2.0 * (SELECT v FROM {a_prev}
+                                WHERE i = {p} AND j = {q}))
+              END AS tau
+          )
+        )
+      )
+    ),
+    {a_cur} AS MATERIALIZED (
+      SELECT m.i, m.j,
+        CASE
+          WHEN m.i = {p} AND m.j = {p}
+            THEN r.c * r.c * r.app - 2.0 * r.c * r.s * r.apq + r.s * r.s * r.aqq
+          WHEN m.i = {q} AND m.j = {q}
+            THEN r.s * r.s * r.app + 2.0 * r.c * r.s * r.apq + r.c * r.c * r.aqq
+          WHEN (m.i = {p} AND m.j = {q}) OR (m.i = {q} AND m.j = {p}) THEN 0.0
+          WHEN m.j = {p} THEN r.c * m.v - r.s * cq.v
+          WHEN m.j = {q} THEN r.s * cp.v + r.c * m.v
+          WHEN m.i = {p} THEN r.c * m.v - r.s * rq.v
+          WHEN m.i = {q} THEN r.s * rp.v + r.c * m.v
+          ELSE m.v END AS v
+      FROM {a_prev} m
+      CROSS JOIN {rot} r
+      LEFT JOIN {a_prev} cp ON cp.i = m.i AND cp.j = {p}
+      LEFT JOIN {a_prev} cq ON cq.i = m.i AND cq.j = {q}
+      LEFT JOIN {a_prev} rp ON rp.j = m.j AND rp.i = {p}
+      LEFT JOIN {a_prev} rq ON rq.j = m.j AND rq.i = {q}
+    ),
+    {v_cur} AS MATERIALIZED (
+      SELECT m.i, m.j,
+        CASE WHEN m.j = {p} THEN r.c * m.v - r.s * cq.v
+             WHEN m.j = {q} THEN r.s * cp.v + r.c * m.v
+             ELSE m.v END AS v
+      FROM {v_prev} m
+      CROSS JOIN {rot} r
+      LEFT JOIN {v_prev} cp ON cp.i = m.i AND cp.j = {p}
+      LEFT JOIN {v_prev} cq ON cq.i = m.i AND cq.j = {q}
+    )""")
+                a_prev, v_prev = a_cur, v_cur
+    return ",".join(ctes), a_prev, v_prev
+
+
+def _pca_partialrank_sql(d: int = _PCA_DIMS, sweeps: int = 6) -> str:
+    feats = ", ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) AS x{i}" for i in range(d)
+    )
+    stats = ", ".join(
+        f"avg(x{i}) AS m{i}, stddev_pop(x{i}) AS s{i}" for i in range(d)
+    )
+    zcols = ", ".join(
+        f"(x{i} - m{i}) / (CASE WHEN s{i} = 0 THEN 1.0 ELSE s{i} END) AS z{i}"
+        for i in range(d)
+    )
+    corr_rows = " UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, avg(z{i} * z{j}) AS v FROM z"
+        for i in range(d)
+        for j in range(d)
+    )
+    ident = " UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, CAST({1 if i == j else 0} AS DOUBLE) AS v"
+        for i in range(d)
+        for j in range(d)
+    )
+    zu = " UNION ALL ".join(
+        f"SELECT id, {i} AS k, z{i} AS z FROM z" for i in range(d)
+    )
+    jac, a_last, v_last = _jacobi_ctes(d, sweeps)
+    return f"""
+    WITH f AS MATERIALIZED (SELECT vec_id AS id, {feats} FROM embeddings),
+    s AS MATERIALIZED (SELECT count(*) AS n, {stats} FROM f),
+    z AS MATERIALIZED (SELECT id, n, {zcols} FROM f, s),
+    corr AS MATERIALIZED ({corr_rows}),
+    a0 AS MATERIALIZED (SELECT * FROM corr),
+    v0 AS MATERIALIZED ({ident}),{jac},
+    eig AS MATERIALIZED (
+      SELECT j AS comp, v AS lam,
+             row_number() OVER (ORDER BY v DESC, j) AS rk
+      FROM {a_last} WHERE i = j
+    ),
+    ksel AS (
+      SELECT least(CAST(count(*) AS INTEGER) + 1, {d}) AS k FROM (
+        SELECT rk, sum(lam) OVER (ORDER BY rk) / (SELECT sum(lam) FROM eig)
+          AS cum
+        FROM eig
+      ) WHERE cum <= 0.8
+    ),
+    zu AS MATERIALIZED ({zu}),
+    proj AS MATERIALIZED (
+      SELECT zu.id, e.rk, e.lam, sum(zu.z * vf.v) AS p
+      FROM zu
+      JOIN {v_last} vf ON vf.i = zu.k
+      JOIN eig e ON e.comp = vf.j
+      GROUP BY zu.id, e.rk, e.lam
+    ),
+    zz AS (SELECT id, sum(z * z) AS zz FROM zu GROUP BY id),
+    sc AS (
+      SELECT zz.id,
+             greatest(zz.zz - (SELECT sum(p.p * p.p) FROM proj p
+                               WHERE p.id = zz.id
+                                 AND p.rk <= (SELECT k FROM ksel)), 0.0)
+               AS score_recon,
+             sqrt(greatest((SELECT sum(p.p * p.p / (p.lam * s.n / (s.n - 1.0)))
+                            FROM proj p, s WHERE p.id = zz.id AND p.rk <= 4),
+                           0.0)) AS score_maha
+      FROM zz
+    ),
+    thr AS (
+      SELECT quantile_cont(score_recon, 0.95) AS tr,
+             quantile_cont(score_maha, 0.95) AS tm
+      FROM sc
+    )
+    SELECT id AS vec_id,
+           round(score_recon, 4) AS score_recon,
+           CAST(CASE WHEN score_recon > tr THEN -1 ELSE 1 END AS INTEGER)
+             AS verdict_recon,
+           round(score_maha, 4) AS score_maha,
+           CAST(CASE WHEN score_maha > tm THEN -1 ELSE 1 END AS INTEGER)
+             AS verdict_maha
+    FROM sc, thr
+    """
+
+
+@register("pca_partialrank_embeddings", _pca_partialrank_sql())
 def pca_partialrank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both partial-rank score paths (variance-ratio component pick +
-    reconstruction error; fixed k=4 + Mahalanobis) in one row set —
-    merged from two round-2 rows-only queries to fit the driver's
-    50-query gate window; numerical parity vs numpy lives in
+    reconstruction error; fixed k=4 + Mahalanobis) in one row set,
+    hash-checked against the Jacobi-in-DuckDB eigendecomposition
+    oracle above; numerical parity vs numpy additionally lives in
     tests/test_pca.py golden tests."""
     feats = _embedding_features(spark, sf_dir)
     cols = [f"f{i}" for i in range(_PCA_DIMS)]
