@@ -322,11 +322,15 @@ def pca_2d_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # eigh-based detector and the elimination-based oracle must agree. ---
 
 
-def _gauss_jordan_ctes(d: int) -> str:
+def _gauss_jordan_ctes(d: int, prefix: str = "m") -> tuple[str, str]:
+    """CTE chain inverting a d×d matrix given as augmented (i, j, v)
+    rows in ``{prefix}0`` (left block = matrix, right block = I).
+    ``prefix`` lets several independent inversions coexist in one
+    query (the MCD C-step oracle runs one per unrolled iteration)."""
     steps = []
-    prev = "m0"
+    prev = f"{prefix}0"
     for k in range(d):
-        cur = f"m{k + 1}"
+        cur = f"{prefix}{k + 1}"
         steps.append(f"""
     {cur} AS MATERIALIZED (
       SELECT m.i, m.j,

@@ -42,40 +42,19 @@ def r4(col):
 
 
 # ---------------------------------------------------------------------------
-# SURVEY §2 op-7/8/6: z-score detector (fit agg + scoring projection)
+# SURVEY §2 ops 6-10: z-score + IQR fence detectors, one row set
+# (merged from two round-2 green pairs to free a slot in the driver's
+# 50-query gate window; both detectors scan the same table at the
+# same grain, so the merge loses no coverage)
 # ---------------------------------------------------------------------------
 
 
 @register(
-    "detect_zscore_events",
+    "detect_zscore_iqr_events",
     """
     WITH s AS (
       SELECT avg(value) AS mu, stddev_pop(value) AS sigma FROM events
-    )
-    SELECT e.event_id,
-           round(abs((e.value - s.mu) / (CASE WHEN s.sigma = 0 OR s.sigma IS NULL
-                                              THEN 1.0 ELSE s.sigma END)), 4) AS score,
-           CAST(CASE WHEN abs((e.value - s.mu) / (CASE WHEN s.sigma = 0 OR s.sigma IS NULL
-                                                       THEN 1.0 ELSE s.sigma END)) > 3.0
-                     THEN -1 ELSE 1 END AS INTEGER) AS verdict
-    FROM events e, s
-    """,
-)
-def detect_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = load_table(spark, "events", sf_dir)
-    det = ZScoreDetector(threshold=3.0).fit(df, ["value"])
-    return det.transform(df).select("event_id", r4(F.col("score")).alias("score"), "verdict")
-
-
-# ---------------------------------------------------------------------------
-# SURVEY §2 op-9/10: IQR fence detector
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "detect_iqr_events",
-    """
-    WITH q AS (
+    ), q AS (
       SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
       FROM events
     ), f AS (
@@ -84,17 +63,33 @@ def detect_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM q
     )
     SELECT e.event_id,
+           round(abs((e.value - s.mu) / (CASE WHEN s.sigma = 0 OR s.sigma IS NULL
+                                              THEN 1.0 ELSE s.sigma END)), 4) AS z_score,
+           CAST(CASE WHEN abs((e.value - s.mu) / (CASE WHEN s.sigma = 0 OR s.sigma IS NULL
+                                                       THEN 1.0 ELSE s.sigma END)) > 3.0
+                     THEN -1 ELSE 1 END AS INTEGER) AS z_verdict,
            CASE WHEN e.value < (f.q1 - 1.5 * f.iqr) OR e.value > (f.q3 + 1.5 * f.iqr)
-                THEN 1.0 ELSE 0.0 END AS score,
+                THEN 1.0 ELSE 0.0 END AS iqr_score,
            CAST(CASE WHEN e.value < (f.q1 - 1.5 * f.iqr) OR e.value > (f.q3 + 1.5 * f.iqr)
-                     THEN -1 ELSE 1 END AS INTEGER) AS verdict
-    FROM events e, f
+                     THEN -1 ELSE 1 END AS INTEGER) AS iqr_verdict
+    FROM events e, s, f
     """,
 )
-def detect_iqr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def detect_zscore_iqr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, "events", sf_dir)
-    det = IQROutlierDetector(factor=1.5, exact=True).fit(df, ["value"])
-    return det.transform(df).select("event_id", "score", "verdict")
+    z = ZScoreDetector(threshold=3.0).fit(df, ["value"])
+    iqr = IQROutlierDetector(factor=1.5, exact=True).fit(df, ["value"])
+    zs = z.transform(df).select(
+        "event_id",
+        r4(F.col("score")).alias("z_score"),
+        F.col("verdict").alias("z_verdict"),
+    )
+    qs = iqr.transform(df).select(
+        "event_id",
+        F.col("score").alias("iqr_score"),
+        F.col("verdict").alias("iqr_verdict"),
+    )
+    return zs.join(qs, "event_id")
 
 
 # ---------------------------------------------------------------------------
