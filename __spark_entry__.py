@@ -47,4 +47,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents (same column names)."""
-    return dict(entry_queries.ORACLES)
+    return entry_queries.resolved_oracles()

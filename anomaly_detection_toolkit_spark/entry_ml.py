@@ -25,16 +25,129 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ml_iforest_embeddings")  # rows-only: random trees genuinely non-SQL
+# --- Isolation forest (op-22) under the hash gate. Tree CONSTRUCTION
+# is seeded-RNG-driven (numpy PCG64) and genuinely non-SQL — but
+# everything downstream of the fitted trees is deterministic, so the
+# oracle replays the identical fit outside Spark (same
+# fit_forest_arrays on the same rows in the same order — the
+# id-hash sample priority is reproducible in DuckDB because
+# integer→string casts are engine-stable), emits the trees as literal
+# rows, and re-derives IN SQL the whole distributed scoring path the
+# Spark side actually exercises: standardization (avg/stddev_pop with
+# the σ=0→1 guard), unrolled depth_cap-step tree traversal,
+# path-length leaf adjustment c(size), score = 2^(−E[len]/c(ψ)), the
+# contamination quantile threshold, and the ±1 verdict. Only the RNG
+# that CHOSE the trees is shared between the two sides.
+
+_IF_TREES = 50
+_IF_SEED = 42
+
+
+def _iforest_oracle_sql() -> str:
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from anomaly_detection_toolkit_spark.operators.ml import (
+        _c_factor,
+        fit_forest_arrays,
+    )
+
+    d = _DIMS
+    sf_dir = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
+    feats = ", ".join(f"CAST(embedding[{i + 1}] AS DOUBLE) AS x{i}" for i in range(d))
+    # identical priority to _collect_sample(order_col="vec_id"):
+    # 60-bit md5 of "<seed>,<vec_id>"
+    rows = duckdb.execute(
+        f"""
+        SELECT {feats}
+        FROM '{sf_dir}/embeddings.parquet'
+        ORDER BY CAST('0x' || substring(
+                   md5('{_IF_SEED}' || ',' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 AS BIGINT)
+        LIMIT 100000
+        """
+    ).fetchnumpy()
+    x = np.column_stack([rows[f"x{i}"] for i in range(d)]).astype(np.float64)
+    x = x[~np.isnan(x).any(axis=1)]
+    mean = x.mean(axis=0)
+    sd = x.std(axis=0)
+    sd[sd == 0] = 1.0
+    xs = (x - mean) / sd
+    trees, psi, depth_cap = fit_forest_arrays(xs, _IF_TREES, 256, _IF_SEED)
+
+    lits = []
+    for t, (feature, thresh, left, right, size) in enumerate(trees):
+        for n in range(len(feature)):
+            lits.append(
+                f"({t},{n},{int(feature[n])},{float(thresh[n])!r},"
+                f"{int(left[n])},{int(right[n])},{_c_factor(int(size[n]))!r})"
+            )
+    stats = ", ".join(
+        f"avg(x{i}) AS m{i}, stddev_pop(x{i}) AS s{i}" for i in range(d)
+    )
+    zcols = ", ".join(
+        f"(x{i} - m{i}) / (CASE WHEN s{i} = 0 THEN 1.0 ELSE s{i} END) AS z{i}"
+        for i in range(d)
+    )
+    zu = " UNION ALL ".join(
+        f"SELECT id, {i} AS k, z{i} AS z FROM z" for i in range(d)
+    )
+    steps = []
+    for k in range(depth_cap):
+        steps.append(
+            f"""st{k + 1} AS MATERIALIZED (
+      SELECT s.id, s.t,
+             CASE WHEN nd.feat < 0 THEN s.node
+                  WHEN zu.z < nd.thr THEN nd.lt ELSE nd.rt END AS node,
+             CASE WHEN nd.feat < 0 THEN s.depth ELSE s.depth + 1 END AS depth
+      FROM st{k} s
+      JOIN nodes nd ON nd.t = s.t AND nd.n = s.node
+      LEFT JOIN zu ON zu.id = s.id AND zu.k = nd.feat
+    )"""
+        )
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH f AS MATERIALIZED (SELECT vec_id AS id, {feats} FROM embeddings),
+    s AS MATERIALIZED (SELECT {stats} FROM f),
+    z AS MATERIALIZED (SELECT id, {zcols} FROM f, s),
+    zu AS MATERIALIZED ({zu}),
+    nodes(t, n, feat, thr, lt, rt, cf) AS MATERIALIZED (
+      VALUES {",".join(lits)}
+    ),
+    st0 AS MATERIALIZED (
+      SELECT f.id, tr.t, 0 AS node, 0 AS depth
+      FROM f CROSS JOIN (SELECT DISTINCT t FROM nodes) tr
+    ),
+    {steps_sql},
+    pl AS (
+      SELECT s.id, s.depth + nd.cf AS plen
+      FROM st{depth_cap} s JOIN nodes nd ON nd.t = s.t AND nd.n = s.node
+    ),
+    sc AS (
+      SELECT id, pow(2.0, -avg(plen) / {_c_factor(psi)!r}) AS score
+      FROM pl GROUP BY id
+    ),
+    thr AS (SELECT quantile_cont(score, 0.95) AS thr FROM sc)
+    SELECT id AS vec_id, round(score, 4) AS if_score,
+           CAST(CASE WHEN score > thr THEN -1 ELSE 1 END AS INTEGER) AS if_verdict
+    FROM sc, thr
+    """
+
+
+@register("ml_iforest_embeddings", _iforest_oracle_sql)
 def ml_iforest_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Isolation forest (op-22). The only remaining rows-only detector
-    row: tree construction is seeded-RNG-driven and not expressible in
-    ANSI SQL; numerical behavior is pinned by tests/test_ml.py golden
-    tests against a hand-rolled reference traversal."""
+    """Isolation forest (op-22), hash-gated via the literal-tree
+    oracle above; tree-build internals are additionally pinned by
+    tests/test_ml.py golden tests against a hand-rolled traversal."""
     feats = _features(spark, sf_dir)
     cols = [f"f{i}" for i in range(_DIMS)]
     iforest = IsolationForestDetector(
-        n_estimators=50, contamination=0.05, seed=42
+        n_estimators=_IF_TREES,
+        contamination=0.05,
+        seed=_IF_SEED,
+        sample_order_col="vec_id",
     ).fit(feats, cols)
     return iforest.transform(feats).select(
         "vec_id",

@@ -23,10 +23,14 @@ from anomaly_detection_toolkit_spark.operators.statistical import (
 from anomaly_detection_toolkit_spark.sources.testdata import load_table
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: Dict[str, str] = {}
+# value: SQL string, or a zero-arg callable producing one (resolved
+# lazily by resolved_oracles() — the iForest oracle re-fits the
+# forest on the gate table to emit its tree literals, which must not
+# happen at import time)
+ORACLES: Dict[str, str | Callable[[], str]] = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | Callable[[], str] | None = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         QUERIES[name] = fn
         if oracle is not None:
@@ -34,6 +38,14 @@ def register(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def resolved_oracles() -> Dict[str, str]:
+    """ORACLES with lazy entries resolved to SQL strings (cached)."""
+    for k, v in list(ORACLES.items()):
+        if callable(v):
+            ORACLES[k] = v()
+    return {k: v for k, v in ORACLES.items() if isinstance(v, str)}
 
 
 def r4(col):

@@ -47,7 +47,11 @@ from anomaly_detection_toolkit_spark.operators.base import (
 
 
 def _collect_sample(
-    df: DataFrame, cols: Sequence[str], max_rows: int, seed: int
+    df: DataFrame,
+    cols: Sequence[str],
+    max_rows: int,
+    seed: int,
+    order_col: str | None = None,
 ) -> np.ndarray:
     """Bounded driver-side sample as a float64 matrix (NaN rows
     dropped) in ONE scan — no count() pre-pass (the round-2 audit's
@@ -63,11 +67,24 @@ def _collect_sample(
     ``sample().limit()`` pattern was layout-dependent. Rows with
     identical feature values share a priority and enter/leave the
     sample together; acceptable for sample-fit detectors (documented
-    bias toward treating duplicates atomically)."""
+    bias toward treating duplicates atomically).
+
+    ``order_col`` switches the priority to a 60-bit md5 of the
+    seed-salted KEY column instead of the feature values: still
+    layout-independent, removes the duplicate-row atomicity bias
+    (clean uniform sample), and — because integer→string casts are
+    engine-stable — makes the sample order reproducible OUTSIDE
+    Spark (the iForest driver-gate oracle re-derives it in DuckDB:
+    ``entry_ml._iforest_oracle_sql``)."""
     vals = [F.col(c).cast("double") for c in cols]
+    salt = (
+        [F.col(order_col).cast("string")]
+        if order_col is not None
+        else [v.cast("string") for v in vals]
+    )
     prio = F.conv(
         F.substring(
-            F.md5(F.concat_ws(",", F.lit(str(seed)), *[v.cast("string") for v in vals])),
+            F.md5(F.concat_ws(",", F.lit(str(seed)), *salt)),
             1,
             15,
         ),
@@ -158,6 +175,23 @@ def _tree_path_lengths(tree, x: np.ndarray) -> np.ndarray:
     return depth + np.vectorize(lut.get)(leaf_sizes)
 
 
+def fit_forest_arrays(
+    xs: np.ndarray, n_estimators: int, max_samples: int, seed: int
+) -> tuple[list, int, int]:
+    """Deterministic forest build on an ALREADY-standardized,
+    ALREADY-ordered matrix: (trees, psi, depth_cap). Split out of
+    ``IsolationForestDetector.fit`` so the driver-gate oracle can
+    replay the identical fit outside Spark (``entry_ml``)."""
+    rng = np.random.default_rng(seed)
+    psi = min(max_samples, len(xs))
+    depth_cap = int(np.ceil(np.log2(max(psi, 2))))
+    trees = []
+    for _ in range(n_estimators):
+        rows = rng.choice(len(xs), size=psi, replace=False)
+        trees.append(_build_tree(xs[rows], rng, depth_cap))
+    return trees, psi, depth_cap
+
+
 class IsolationForestDetector(Detector):
     """iForest: fit on sample, score via Arrow UDF. Parity target:
     ``ml_methods.py:15-110`` (scaling + contamination threshold)."""
@@ -169,6 +203,7 @@ class IsolationForestDetector(Detector):
         contamination: float = 0.05,
         max_fit_rows: int = 100_000,
         seed: int = 42,
+        sample_order_col: str | None = None,
     ) -> None:
         super().__init__()
         self.n_estimators = n_estimators
@@ -176,6 +211,7 @@ class IsolationForestDetector(Detector):
         self.contamination = contamination
         self.max_fit_rows = max_fit_rows
         self.seed = seed
+        self.sample_order_col = sample_order_col
         self.trees_: list | None = None
         self.mean_: np.ndarray | None = None
         self.scale_: np.ndarray | None = None
@@ -184,7 +220,9 @@ class IsolationForestDetector(Detector):
 
     def fit(self, df: DataFrame, cols: Sequence[str]) -> "IsolationForestDetector":
         cols = validate_feature_cols(df, cols)
-        x = _collect_sample(df, cols, self.max_fit_rows, self.seed)
+        x = _collect_sample(
+            df, cols, self.max_fit_rows, self.seed, self.sample_order_col
+        )
         if len(x) < 2:
             raise ValueError("need ≥2 sample rows to fit")
         self.mean_ = x.mean(axis=0)
@@ -192,14 +230,9 @@ class IsolationForestDetector(Detector):
         sd[sd == 0] = 1.0
         self.scale_ = sd
         xs = (x - self.mean_) / self.scale_
-        rng = np.random.default_rng(self.seed)
-        psi = min(self.max_samples, len(xs))
-        depth_cap = int(np.ceil(np.log2(max(psi, 2))))
-        self.trees_ = []
-        for _ in range(self.n_estimators):
-            rows = rng.choice(len(xs), size=psi, replace=False)
-            self.trees_.append(_build_tree(xs[rows], rng, depth_cap))
-        self.psi_ = psi
+        self.trees_, self.psi_, _ = fit_forest_arrays(
+            xs, self.n_estimators, self.max_samples, self.seed
+        )
         self.feature_cols = list(cols)
         self.is_fitted = True
         # contamination threshold from the training sample's scores
