@@ -84,3 +84,21 @@ def test_fit_errors(spark):
         IsolationForestDetector().fit(df, ["f0"])
     with pytest.raises(ValueError):
         RobustCovarianceDetector().fit(df, ["f0"])
+
+
+def test_iforest_id_order_layout_independent(injected_df):
+    """sample_order_col priority is derived from the KEY value, so the
+    fitted model (and its scores) must be identical under any input
+    partitioning — the property the driver-gate oracle relies on to
+    replay the fit outside Spark."""
+    cols = ["f0", "f1"]
+    d1 = IsolationForestDetector(
+        n_estimators=10, seed=7, sample_order_col="idx"
+    ).fit(injected_df, cols)
+    d2 = IsolationForestDetector(
+        n_estimators=10, seed=7, sample_order_col="idx"
+    ).fit(injected_df.repartition(13, "f1"), cols)
+    for t1, t2 in zip(d1.trees_, d2.trees_):
+        for a, b in zip(t1, t2):
+            assert np.array_equal(a, b)
+    assert d1.threshold_ == d2.threshold_
