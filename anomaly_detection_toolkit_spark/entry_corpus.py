@@ -364,35 +364,6 @@ _DOT_SQL = (
     "i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))"
 ).format(d=_DIM + 1, a="{a}", b="{b}")
 
-_ANN_BRUTE_SQL = f"""
-    WITH {_E_CTE},
-    q AS (SELECT * FROM e WHERE vec_id < {_N_QUERIES}),
-    s AS (
-      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-             {_DOT_SQL.format(a='q', b='e')} / (q.nrm * e.nrm) AS cs
-      FROM e, q WHERE e.vec_id <> q.vec_id
-    ),
-    r AS (
-      SELECT query_id, neighbor_id, cs,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY round(cs, 6) DESC, neighbor_id) AS rnk
-      FROM s
-    )
-    SELECT query_id, neighbor_id, round(cs, 4) AS cosine_sim, CAST(rnk AS INTEGER) AS rank
-    FROM r WHERE rnk <= {_K}
-"""
-
-
-@register("ann_brute_topk_embeddings", _ANN_BRUTE_SQL)
-def ann_brute_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    out = similarity.brute_force_topk(emb, queries, k=_K)
-    return out.select(
-        "query_id", "neighbor_id", r4(F.col("cosine_sim")).alias("cosine_sim"), "rank"
-    )
-
-
 _N_PLANES = 4
 _PLANES = similarity.plane_signs(_N_PLANES, _DIM)
 
@@ -408,31 +379,158 @@ def _bucket_sql(alias: str) -> str:
     return "(" + " + ".join(plane_cases) + ")"
 
 
-_ANN_LSH_SQL = f"""
+# brute-force and SRP-LSH top-k share one pair (same table, same
+# output grain, distinguished by a `method` column) — merged in round
+# 3 to free a registry slot for the IVF scale path below
+_ANN_TOPK_SQL = f"""
     WITH {_E_CTE},
-    eb AS (SELECT e.vec_id, e.embedding, e.nrm, {_bucket_sql('e')} AS bucket FROM e),
-    q AS (SELECT * FROM eb WHERE vec_id < {_N_QUERIES}),
-    s AS (
-      SELECT q.vec_id AS query_id, eb.vec_id AS neighbor_id,
-             {_DOT_SQL.format(a='q', b='eb')} / (q.nrm * eb.nrm) AS cs
-      FROM eb JOIN q ON eb.bucket = q.bucket AND eb.vec_id <> q.vec_id
+    q AS (SELECT * FROM e WHERE vec_id < {_N_QUERIES}),
+    bs AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             {_DOT_SQL.format(a='q', b='e')} / (q.nrm * e.nrm) AS cs
+      FROM e, q WHERE e.vec_id <> q.vec_id
     ),
-    r AS (
+    br AS (
       SELECT query_id, neighbor_id, cs,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY round(cs, 6) DESC, neighbor_id) AS rnk
-      FROM s
+      FROM bs
+    ),
+    eb AS (SELECT e.vec_id, e.embedding, e.nrm, {_bucket_sql('e')} AS bucket FROM e),
+    qb AS (SELECT * FROM eb WHERE vec_id < {_N_QUERIES}),
+    ls AS (
+      SELECT qb.vec_id AS query_id, eb.vec_id AS neighbor_id,
+             {_DOT_SQL.format(a='qb', b='eb')} / (qb.nrm * eb.nrm) AS cs
+      FROM eb JOIN qb ON eb.bucket = qb.bucket AND eb.vec_id <> qb.vec_id
+    ),
+    lr AS (
+      SELECT query_id, neighbor_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(cs, 6) DESC, neighbor_id) AS rnk
+      FROM ls
     )
-    SELECT query_id, neighbor_id, round(cs, 4) AS cosine_sim, CAST(rnk AS INTEGER) AS rank
-    FROM r WHERE rnk <= {_K}
+    SELECT 'brute' AS method, query_id, neighbor_id,
+           round(cs, 4) AS cosine_sim, CAST(rnk AS INTEGER) AS rank
+    FROM br WHERE rnk <= {_K}
+    UNION ALL
+    SELECT 'lsh' AS method, query_id, neighbor_id,
+           round(cs, 4) AS cosine_sim, CAST(rnk AS INTEGER) AS rank
+    FROM lr WHERE rnk <= {_K}
 """
 
 
-@register("ann_lsh_topk_embeddings", _ANN_LSH_SQL)
-def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("ann_topk_embeddings", _ANN_TOPK_SQL)
+def ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    out = similarity.lsh_topk(emb, queries, k=_K, n_planes=_N_PLANES, dim=_DIM)
+    brute = similarity.brute_force_topk(emb, queries, k=_K).withColumn(
+        "method", F.lit("brute")
+    )
+    lsh = similarity.lsh_topk(
+        emb, queries, k=_K, n_planes=_N_PLANES, dim=_DIM
+    ).withColumn("method", F.lit("lsh"))
+    return brute.unionByName(lsh).select(
+        "method",
+        "query_id",
+        "neighbor_id",
+        r4(F.col("cosine_sim")).alias("cosine_sim"),
+        "rank",
+    )
+
+
+# --- IVF top-k (coarse-quantizer scale path) under the hash gate.
+# The k-means fit is deliberately RNG-free and replayable (priority-
+# ordered sample + fixed Lloyd iterations — see
+# similarity.fit_kmeans_arrays), so the lazy oracle refits the
+# IDENTICAL centroids outside Spark (DuckDB reproduces the id-hash
+# sample order), embeds them as literals, and re-derives cell
+# assignment (argmax of c·x − |c|²/2, ties → lowest cell), the
+# n_probe query cells, and the exact-cosine rerank entirely in SQL.
+
+_IVF_CELLS, _IVF_PROBE, _IVF_SEED = 16, 4, 42
+
+
+def _ivf_oracle_sql() -> str:
+    import os
+
+    import duckdb
+    import numpy as np
+
+    sf_dir = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
+    rows = duckdb.execute(
+        f"""
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM '{sf_dir}/embeddings.parquet'
+        ORDER BY CAST('0x' || substring(
+                   md5('{_IVF_SEED}' || ',' || CAST(vec_id AS VARCHAR)), 1, 15)
+                 AS BIGINT)
+        LIMIT 100000
+        """
+    ).fetchall()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    cent = similarity.fit_kmeans_arrays(x, _IVF_CELLS)
+    half_norms = 0.5 * (cent * cent).sum(axis=1)
+    cent_lits = ",".join(
+        f"({c},{i},{float(cent[c, i])!r})"
+        for c in range(_IVF_CELLS)
+        for i in range(_DIM)
+    )
+    hn_lits = ",".join(
+        f"({c},{float(half_norms[c])!r})" for c in range(_IVF_CELLS)
+    )
+    return f"""
+    WITH {_E_CTE},
+    cent(c, i, v) AS MATERIALIZED (VALUES {cent_lits}),
+    celln(c, hn) AS MATERIALIZED (VALUES {hn_lits}),
+    eu AS MATERIALIZED (
+      SELECT vec_id, u.i, CAST(embedding[u.i + 1] AS DOUBLE) AS x
+      FROM e, (SELECT unnest(range(0, {_DIM})) AS i) u
+    ),
+    s AS MATERIALIZED (
+      SELECT eu.vec_id, ct.c, sum(eu.x * ct.v) - min(cn.hn) AS score
+      FROM eu
+      JOIN cent ct ON ct.i = eu.i
+      JOIN celln cn ON cn.c = ct.c
+      GROUP BY eu.vec_id, ct.c
+    ),
+    ranked AS MATERIALIZED (
+      SELECT vec_id, c,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, c) AS rn
+      FROM s
+    ),
+    cellof AS (SELECT vec_id, c FROM ranked WHERE rn = 1),
+    probe AS (
+      SELECT vec_id, c FROM ranked
+      WHERE rn <= {_IVF_PROBE} AND vec_id < {_N_QUERIES}
+    ),
+    s2 AS (
+      SELECT p.vec_id AS query_id, co.vec_id AS neighbor_id,
+             {_DOT_SQL.format(a='qe', b='ne')} / (qe.nrm * ne.nrm) AS cs
+      FROM probe p
+      JOIN cellof co ON co.c = p.c AND co.vec_id <> p.vec_id
+      JOIN e qe ON qe.vec_id = p.vec_id
+      JOIN e ne ON ne.vec_id = co.vec_id
+    ),
+    r2 AS (
+      SELECT query_id, neighbor_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(cs, 6) DESC, neighbor_id) AS rnk
+      FROM s2
+    )
+    SELECT query_id, neighbor_id, round(cs, 4) AS cosine_sim,
+           CAST(rnk AS INTEGER) AS rank
+    FROM r2 WHERE rnk <= {_K}
+    """
+
+
+@register("ann_ivf_topk_embeddings", _ivf_oracle_sql)
+def ann_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    out = similarity.ivf_topk(
+        emb, queries, k=_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE, seed=_IVF_SEED
+    )
     return out.select(
         "query_id", "neighbor_id", r4(F.col("cosine_sim")).alias("cosine_sim"), "rank"
     )

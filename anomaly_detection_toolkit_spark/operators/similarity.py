@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -214,6 +216,133 @@ def lsh_topk(
         cand = cand.dropDuplicates(["query_id", "neighbor_id"])
     scored = cand.withColumn(
         "cosine_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine_sim"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def collect_vector_sample(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_rows: int,
+    seed: int,
+) -> np.ndarray:
+    """Bounded driver-side vector sample in ONE scan, ordered by a
+    60-bit md5 of the seed-salted ID — the same engine-stable
+    priority as ``ml._collect_sample(order_col=...)``, so the sample
+    (content AND order) is identical under any partitioning and
+    reproducible outside Spark (integer→string casts match across
+    engines; the IVF driver-gate oracle re-derives it in DuckDB).
+    Catalyst plans the sort+limit as TakeOrderedAndProject."""
+    prio = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(",", F.lit(str(seed)), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    pdf = (
+        df.select(F.col(vec_col).alias("v"), prio.alias("_p"))
+        .orderBy("_p")
+        .limit(max_rows)
+        .toPandas()
+    )
+    return np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+
+
+def fit_kmeans_arrays(
+    x: np.ndarray, n_cells: int, n_iter: int = 10
+) -> np.ndarray:
+    """Deterministic Lloyd k-means: init = first ``n_cells`` rows of
+    the (priority-ordered) sample, fixed ``n_iter`` iterations, no
+    convergence branching, ties → lowest cell index, empty cells keep
+    their previous centroid. Deliberately RNG-free and replayable —
+    the IVF oracle refits the identical centroids outside Spark.
+    Assignment uses the dot form argmax(c·x − |c|²/2) ≡ argmin L2,
+    the same form the SQL oracle evaluates."""
+    cent = x[:n_cells].copy()
+    for _ in range(n_iter):
+        scores = x @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+        assign = np.argmax(scores, axis=1)
+        for c in range(n_cells):
+            members = assign == c
+            if members.any():
+                cent[c] = x[members].mean(axis=0)
+    return cent
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_fit_rows: int = 100_000,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer
+    scale path alongside SRP-LSH: corpus vectors are bucketed by
+    nearest k-means centroid (one Arrow-batched matmul per batch, no
+    per-row Python), each query probes its ``n_probe`` nearest cells,
+    and the exact cosine rerank runs only on the probed cells'
+    members (~n_probe/n_cells of the corpus per query).
+
+    Scale story: cell assignment is a map-side projection (centroids
+    ship in the UDF closure, ~n_cells×dim floats); the only shuffle
+    is the broadcast-query cell equi-join; candidates-per-query stays
+    ~n_probe·N/n_cells, so pick ``n_cells ≈ N/target_cell_rows``
+    (same sizing rule as ``auto_n_planes``) to keep rerank cost
+    ~constant per query as the corpus grows. Recall < 1 by
+    construction (boundary neighbors in unprobed cells) — measured in
+    tests, not hidden.
+
+    Output: (query_id, neighbor_id, cosine_sim, rank)."""
+    x = collect_vector_sample(corpus, id_col, vec_col, max_fit_rows, seed)
+    cent = fit_kmeans_arrays(x, n_cells)
+    half_norms = 0.5 * (cent * cent).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def cell_of(v: pd.Series) -> pd.Series:
+        xb = np.stack([np.asarray(a, dtype=np.float64) for a in v])
+        s = xb @ cent.T - half_norms
+        return pd.Series(np.argmax(s, axis=1).astype(np.int32))
+
+    @F.pandas_udf("array<int>")
+    def probe_of(v: pd.Series) -> pd.Series:
+        xb = np.stack([np.asarray(a, dtype=np.float64) for a in v])
+        s = xb @ cent.T - half_norms
+        idx = np.argsort(-s, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype(np.int32) for row in idx])
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+        cell_of(F.col(vec_col)).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+        F.explode(probe_of(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cosine_sim"), 6).desc(), F.col("neighbor_id")

@@ -199,3 +199,29 @@ def test_collect_sample_plans_as_take_ordered(spark):
     q = df.select("f0", "f1", prio.alias("_p")).orderBy("_p").limit(100).drop("_p")
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    """IVF probe recall vs exact brute force (top-1 must survive
+    probing most of the time), and the RNG-free k-means fit must be
+    layout-independent — the property the driver-gate oracle's
+    out-of-Spark replay relies on."""
+    emb = _emb(spark, 600)
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = sim.brute_force_topk(emb, queries, k=1).collect()
+    ivf = sim.ivf_topk(
+        emb, queries, k=1, n_cells=8, n_probe=3, seed=42
+    ).collect()
+    top_b = {r.query_id: r.neighbor_id for r in brute}
+    top_i = {r.query_id: r.neighbor_id for r in ivf}
+    hits = sum(1 for q in top_b if top_i.get(q) == top_b[q])
+    assert hits >= 7  # recall ≥ 0.7 at 3/8 cells probed
+
+    x1 = sim.collect_vector_sample(emb, "vec_id", "embedding", 10_000, 42)
+    x2 = sim.collect_vector_sample(
+        emb.repartition(13), "vec_id", "embedding", 10_000, 42
+    )
+    assert np.array_equal(x1, x2)
+    c1 = sim.fit_kmeans_arrays(x1, 8)
+    c2 = sim.fit_kmeans_arrays(x2, 8)
+    assert np.array_equal(c1, c2)
