@@ -529,40 +529,125 @@ def pm_rul_model_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- ops 30-31: autoencoder seam with the mean-reconstruction dummy
-# model. The plug-in point is exercised end to end (scale → window →
-# reconstruct → score → mean+3σ threshold → pad), and with THIS model
-# every step is ANSI-SQL: score_i = avg_{j∈win_i} |xs_j − avg(win_i)|
-# via a bounded 20-row self-join. ---
+# --- ops 30-31: REAL trained dense autoencoder under the hash gate.
+# Training (seeded Adam on MSE, the reference's PyTorch loop in
+# numpy) is RNG-driven and non-SQL — but, like the iForest oracle,
+# it is deterministic given the sample, and the sample is collected
+# in an engine-stable order (60-bit md5 of the seed-salted series
+# key, then rn). The lazy oracle re-collects the identical sample
+# from DuckDB, re-trains the IDENTICAL network via the same
+# train_from_sample() code path, then re-derives the whole
+# distributed scoring pipeline IN SQL: per-series MinMax scaling,
+# sliding windows as a bounded self-join, every Linear+ReLU layer as
+# a literal-weight matmul (sum-join per layer), score = mean |window
+# − reconstruction|, per-series mean+3σ threshold, ±1 verdict, pad.
+# Only the Adam training loop itself is shared between the sides. ---
 
-_AE_W, _AE_K = 20, 3.0
+_AE_W, _AE_K = 16, 3.0
+_AE_HID = (8, 4)
+_AE_LR, _AE_EPOCHS, _AE_BATCH, _AE_SEED = 1e-3, 20, 64, 42
+_AE_MAXROWS, _AE_MAXWIN = 200_000, 4_000
 
-_AE_SQL = f"""
-    WITH e AS (
-      SELECT event_type AS sid, value,
+def _dense_ae_oracle_sql() -> str:
+    """Lazy oracle (resolved by ``resolved_oracles()`` after the
+    Spark side runs): replay the EXACT training outside Spark, then
+    verify the distributed scoring path with literal-weight SQL.
+
+    Sample replay: ``fit_dense`` collects rows ordered by (60-bit md5
+    of ``"<seed>,<sid>"``, rn) — string/int keys hash identically in
+    both engines, so the DuckDB read reproduces the collected frame
+    bit-for-bit (same doubles, same order), and ``train_from_sample``
+    — the very function the Spark side calls — yields bit-identical
+    weights. The emitted SQL then recomputes scoring independently:
+    one sum-join per Linear layer over VALUES-literal weights."""
+    import duckdb
+
+    from anomaly_detection_toolkit_spark.operators.autoencoder import (
+        train_from_sample,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"""
+        WITH e AS (
+          SELECT event_type AS sid, CAST(value AS DOUBLE) AS val,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY epoch(ts), event_id) AS rn
+          FROM '{sf_dir}/events.parquet'
+        )
+        SELECT sid, val FROM e
+        ORDER BY CAST('0x' || substring(
+                   md5('{_AE_SEED}' || ',' || sid), 1, 15) AS BIGINT), rn
+        LIMIT {_AE_MAXROWS}
+        """
+    ).df()
+    scale = {
+        str(sid): (float(mn), float(mx))
+        for sid, mn, mx in con.execute(
+            f"""
+            SELECT event_type, min(CAST(value AS DOUBLE)),
+                   max(CAST(value AS DOUBLE))
+            FROM '{sf_dir}/events.parquet' GROUP BY 1
+            """
+        ).fetchall()
+    }
+    con.close()
+    ae = train_from_sample(
+        pdf, scale, _AE_W, _AE_HID, _AE_LR, _AE_EPOCHS, _AE_BATCH,
+        _AE_SEED, _AE_MAXWIN,
+    )
+
+    layer_ctes = []
+    prev = "win"
+    last = len(ae.weights) - 1
+    for li, (w, b) in enumerate(zip(ae.weights, ae.biases)):
+        wlits = ",".join(
+            f"({j},{k},{float(w[j, k])!r})"
+            for j in range(w.shape[0])
+            for k in range(w.shape[1])
+        )
+        blits = ",".join(f"({k},{float(b[k])!r})" for k in range(len(b)))
+        act = "t.s + bb.b" if li == last else "greatest(t.s + bb.b, 0.0)"
+        layer_ctes.append(
+            f"""wt{li}(j, k, w) AS (VALUES {wlits}),
+    bv{li}(k, b) AS (VALUES {blits}),
+    h{li} AS MATERIALIZED (
+      SELECT t.sid, t.i, t.k AS j, {act} AS a
+      FROM (SELECT p.sid, p.i, wl.k, sum(p.a * wl.w) AS s
+            FROM {prev} p JOIN wt{li} wl ON wl.j = p.j
+            GROUP BY p.sid, p.i, wl.k) t
+      JOIN bv{li} bb ON bb.k = t.k
+    )"""
+        )
+        prev = f"h{li}"
+    layers_sql = ",\n    ".join(layer_ctes)
+
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT event_type AS sid, CAST(value AS DOUBLE) AS value,
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY epoch(ts), event_id) AS rn
       FROM events
     ),
     mm AS (SELECT sid, min(value) AS mn, max(value) AS mx FROM e GROUP BY sid),
-    s AS (
+    s AS MATERIALIZED (
       SELECT e.sid, e.rn,
              CASE WHEN mm.mx > mm.mn THEN (e.value - mm.mn) / (mm.mx - mm.mn)
                   ELSE 0.0 END AS xs
       FROM e JOIN mm USING (sid)
     ),
-    mu AS (
-      SELECT a.sid, a.rn AS i, avg(b.xs) AS mu
-      FROM s a JOIN s b ON b.sid = a.sid
-                       AND b.rn BETWEEN a.rn - {_AE_W - 1} AND a.rn
-      WHERE a.rn >= {_AE_W}
-      GROUP BY a.sid, a.rn
+    win AS MATERIALIZED (
+      SELECT sa.sid, sa.rn AS i, sb.rn - sa.rn + {_AE_W - 1} AS j, sb.xs AS a
+      FROM s sa JOIN s sb ON sb.sid = sa.sid
+                         AND sb.rn BETWEEN sa.rn - {_AE_W - 1} AND sa.rn
+      WHERE sa.rn >= {_AE_W}
     ),
+    {layers_sql},
     sc AS (
-      SELECT m.sid, m.i, avg(abs(b.xs - m.mu)) AS score
-      FROM mu m JOIN s b ON b.sid = m.sid
-                        AND b.rn BETWEEN m.i - {_AE_W - 1} AND m.i
-      GROUP BY m.sid, m.i
+      SELECT w.sid, w.i, avg(abs(w.a - r.a)) AS score
+      FROM win w JOIN {prev} r ON r.sid = w.sid AND r.i = w.i AND r.j = w.j
+      GROUP BY w.sid, w.i
     ),
     thr AS (
       SELECT sid, avg(score) + {_AE_K} * stddev_pop(score) AS thr
@@ -575,21 +660,17 @@ _AE_SQL = f"""
     FROM s
     LEFT JOIN sc ON sc.sid = s.sid AND sc.i = s.rn
     LEFT JOIN thr ON thr.sid = s.sid
-"""
+    """
 
 
-def _mean_reconstruction_factory():
-    """Package-level dummy model (importable on executors): each
-    window reconstructed as its own mean — the seam's test model."""
-    import numpy as _np
-
-    return lambda wins: _np.repeat(
-        wins.mean(axis=1, keepdims=True), wins.shape[1], axis=1
-    )
-
-
-@register("autoencoder_seam_events", _AE_SQL)
-def autoencoder_seam_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("autoencoder_dense_events", _dense_ae_oracle_sql)
+def autoencoder_dense_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 30-31 closed for real: a from-scratch dense autoencoder
+    (reference architecture, ``autoencoders.py:325-415``) trained on
+    the driver over an engine-stable window sample, scored
+    distributed via the same applyInPandas kernel the pluggable seam
+    uses. The hash gate covers scale→window→train→reconstruct→score→
+    threshold→pad end to end."""
     from anomaly_detection_toolkit_spark.operators.autoencoder import (
         WindowedAutoencoderDetector,
     )
@@ -607,10 +688,20 @@ def autoencoder_seam_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rn"),
     )
     det = WindowedAutoencoderDetector(
-        model_factory=_mean_reconstruction_factory,
-        window_size=_AE_W,
-        threshold_std=_AE_K,
-    ).fit(e, "sid", "value")
+        window_size=_AE_W, threshold_std=_AE_K
+    ).fit_dense(
+        e,
+        "sid",
+        "rn",
+        "value",
+        hidden_dims=_AE_HID,
+        lr=_AE_LR,
+        epochs=_AE_EPOCHS,
+        batch_size=_AE_BATCH,
+        seed=_AE_SEED,
+        max_fit_rows=_AE_MAXROWS,
+        max_fit_windows=_AE_MAXWIN,
+    )
     out = det.transform(e, "sid", "rn", "value")
     return out.select("sid", "rn", r4(F.col("score")).alias("score"), "verdict")
 

@@ -386,7 +386,7 @@ _PRIORITY = [
     "northstar_suite_verdicts",
     "suite_grid_documents",
     "streaming_drift_events",
-    "autoencoder_seam_events",
+    "autoencoder_dense_events",
     "pm_process_pipeline_lineitem",
     "cube_report_events",
     "pm_rul_model_lineitem",

@@ -127,6 +127,176 @@ def predict_from_scores(scores: np.ndarray, n: int, threshold_std: float) -> np.
     return verd.astype(np.int32)
 
 
+class NumpyDenseAutoencoder:
+    """From-scratch dense autoencoder closing ops 30-31 without a
+    framework: the reference's PyTorch architecture
+    (``autoencoders.py:325-350`` — Linear+ReLU encoder through
+    ``hidden_dims``, mirrored decoder, final Linear back to
+    ``input_dim``) trained with Adam on MSE
+    (``autoencoders.py:393-415``), all in numpy. Deliberately
+    DETERMINISTIC end to end (seeded init, seeded epoch shuffles, no
+    early stopping) so the driver-gate oracle can replay the
+    identical training outside Spark and verify the distributed
+    scoring path against literal-weight SQL matmuls.
+
+    Weights are a few KB — they ship to executors inside the model
+    factory closure; training happens once on the driver over a
+    bounded window sample (sklearn-style sample-fit, the same
+    pattern as the iForest/MCD detectors)."""
+
+    def __init__(
+        self,
+        input_dim: int,
+        hidden_dims: tuple[int, ...] = (64, 16, 4),
+        lr: float = 1e-3,
+        epochs: int = 40,
+        batch_size: int = 64,
+        seed: int = 42,
+    ) -> None:
+        self.dims = (
+            [int(input_dim)]
+            + [int(h) for h in hidden_dims]
+            + [int(h) for h in reversed(hidden_dims[:-1])]
+            + [int(input_dim)]
+        )
+        self.lr = float(lr)
+        self.epochs = int(epochs)
+        self.batch_size = int(batch_size)
+        self.seed = int(seed)
+        self.weights: list[np.ndarray] = []
+        self.biases: list[np.ndarray] = []
+
+    def _init_params(self, rng: np.random.Generator) -> None:
+        self.weights, self.biases = [], []
+        for fan_in, fan_out in zip(self.dims[:-1], self.dims[1:]):
+            self.weights.append(
+                rng.standard_normal((fan_in, fan_out)) * np.sqrt(2.0 / fan_in)
+            )
+            self.biases.append(np.zeros(fan_out))
+
+    def _forward(self, x: np.ndarray) -> list[np.ndarray]:
+        acts = [x]
+        h = x
+        last = len(self.weights) - 1
+        for li, (w, b) in enumerate(zip(self.weights, self.biases)):
+            h = h @ w + b
+            if li < last:  # ReLU on every layer but the output
+                h = np.maximum(h, 0.0)
+            acts.append(h)
+        return acts
+
+    def fit(self, x: np.ndarray) -> "NumpyDenseAutoencoder":
+        rng = np.random.default_rng(self.seed)
+        self._init_params(rng)
+        n = len(x)
+        mw = [np.zeros_like(w) for w in self.weights]
+        vw = [np.zeros_like(w) for w in self.weights]
+        mb = [np.zeros_like(b) for b in self.biases]
+        vb = [np.zeros_like(b) for b in self.biases]
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        t = 0
+        last = len(self.weights) - 1
+        for _ in range(self.epochs):
+            perm = rng.permutation(n)
+            for s in range(0, n, self.batch_size):
+                xb = x[perm[s : s + self.batch_size]]
+                acts = self._forward(xb)
+                # dL/dout for L = mean((out - x)^2)
+                g = 2.0 * (acts[-1] - xb) / acts[-1].size
+                t += 1
+                grads_w, grads_b = [None] * len(self.weights), [None] * len(self.weights)
+                for li in range(last, -1, -1):
+                    a_in = acts[li]
+                    grads_w[li] = a_in.T @ g
+                    grads_b[li] = g.sum(axis=0)
+                    if li > 0:
+                        g = g @ self.weights[li].T
+                        g = g * (acts[li] > 0)  # ReLU mask
+                for li in range(len(self.weights)):
+                    for p, gr, m, v in (
+                        (self.weights[li], grads_w[li], mw[li], vw[li]),
+                        (self.biases[li], grads_b[li], mb[li], vb[li]),
+                    ):
+                        m *= b1
+                        m += (1 - b1) * gr
+                        v *= b2
+                        v += (1 - b2) * gr * gr
+                        mhat = m / (1 - b1**t)
+                        vhat = v / (1 - b2**t)
+                        p -= self.lr * mhat / (np.sqrt(vhat) + eps)
+        return self
+
+    def reconstruct(self, x: np.ndarray) -> np.ndarray:
+        return self._forward(np.asarray(x, dtype=np.float64))[-1]
+
+
+def sample_training_windows(
+    per_series_scaled: list[np.ndarray],
+    window_size: int,
+    max_fit_windows: int,
+) -> np.ndarray:
+    """Training windows from scaled series: per-series sliding
+    windows, middle 80% kept (edge-effect trim, reference
+    ``autoencoders.py:383-385``), concatenated, then deterministic
+    stride subsampling down to ``max_fit_windows``."""
+    parts = []
+    for xs in per_series_scaled:
+        wins = make_windows(xs, window_size)
+        n = len(wins)
+        if n == 0:
+            continue
+        lo, hi = int(0.1 * n), int(0.9 * n)
+        parts.append(wins[lo:hi] if hi > lo else wins)
+    if not parts:
+        return np.empty((0, window_size))
+    allw = np.concatenate(parts)
+    if len(allw) > max_fit_windows:
+        stride = int(np.ceil(len(allw) / max_fit_windows))
+        allw = allw[::stride]
+    return allw
+
+
+def train_from_sample(
+    pdf: pd.DataFrame,
+    scale: dict[str, tuple[float, float]],
+    window_size: int,
+    hidden_dims: tuple[int, ...],
+    lr: float,
+    epochs: int,
+    batch_size: int,
+    seed: int,
+    max_fit_windows: int,
+) -> NumpyDenseAutoencoder:
+    """Deterministic training from a collected (sid, val) sample in
+    sampled order — shared verbatim by ``fit_dense`` (Spark collect)
+    and the driver-gate oracle (DuckDB read), so both sides train the
+    IDENTICAL model. Series are grouped in lexicographic sid order
+    (order within each series preserved), scaled with the supplied
+    per-series (min, max), windowed, middle-80%-trimmed, stride-cut,
+    then fed to the seeded Adam loop."""
+    scaled = []
+    for sid, grp in pdf.groupby("sid", sort=True):
+        x = grp["val"].to_numpy(dtype=np.float64)
+        mn, mx = scale.get(str(sid), (float(x.min()), float(x.max())))
+        rng = mx - mn
+        xs = (x - mn) / rng if rng != 0.0 else np.zeros_like(x)
+        scaled.append(xs)
+    wins = sample_training_windows(scaled, window_size, max_fit_windows)
+    if len(wins) == 0:
+        raise ValueError(
+            f"no training windows: every sampled series is shorter than "
+            f"window_size={window_size}"
+        )
+    return NumpyDenseAutoencoder(
+        window_size,
+        hidden_dims=hidden_dims,
+        lr=lr,
+        epochs=epochs,
+        batch_size=batch_size,
+        seed=seed,
+    ).fit(wins)
+
+
 class WindowedAutoencoderDetector:
     """Distributed fit/score/predict around a pluggable
     reconstruction model (see module docstring for the contract)."""
@@ -173,6 +343,79 @@ class WindowedAutoencoderDetector:
         )
         self.scale_ = {str(r[series_col]): (float(r["mn"]), float(r["mx"])) for r in rows}
         self.is_fitted = True
+        return self
+
+    def fit_dense(
+        self,
+        df: DataFrame,
+        series_col: str,
+        order_col: str,
+        value_col: str,
+        hidden_dims: tuple[int, ...] = (64, 16, 4),
+        lr: float = 1e-3,
+        epochs: int = 40,
+        batch_size: int = 64,
+        seed: int = 42,
+        max_fit_rows: int = 1_000_000,
+        max_fit_windows: int = 20_000,
+    ) -> "WindowedAutoencoderDetector":
+        """Fit scalers AND train a real ``NumpyDenseAutoencoder`` on a
+        bounded driver-side window sample, then install it as the
+        reconstruction model (ops 30-31 closed without a framework).
+
+        The sample is the first ``max_fit_rows`` rows ordered by
+        (60-bit md5 of the seed-salted SERIES key, ``order_col``) —
+        series are taken in engine-stable hash-priority order, each as
+        an order-contiguous prefix, so the collected matrix (content
+        AND order) is layout-independent and reproducible outside
+        Spark (the driver-gate oracle replays the identical training
+        from a DuckDB read; same trick as the iForest literal-tree
+        oracle). Training windows: per-series middle 80%, stride-cut
+        to ``max_fit_windows`` (reference trims edges the same way,
+        ``autoencoders.py:383-385``). Training itself is the
+        reference's PyTorch loop in numpy: Adam on MSE, seeded
+        shuffles, fixed epochs. The trained weights (a few KB) ride
+        to executors in the factory closure."""
+        from pyspark.sql import functions as F
+
+        self.fit(df, series_col, value_col)
+        prio = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ",", F.lit(str(seed)), F.col(series_col).cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        pdf = (
+            df.select(
+                F.col(series_col).cast("string").alias("sid"),
+                F.col(value_col).cast("double").alias("val"),
+                prio.alias("_p"),
+                F.col(order_col).alias("_o"),
+            )
+            .orderBy("_p", "_o")
+            .limit(max_fit_rows)
+            .toPandas()
+        )
+        ae = train_from_sample(
+            pdf,
+            self.scale_,
+            self.window_size,
+            hidden_dims,
+            lr,
+            epochs,
+            batch_size,
+            seed,
+            max_fit_windows,
+        )
+        self.ae_ = ae
+        self.model_factory = lambda: ae.reconstruct
         return self
 
     def _scale(self, sid: str, x: np.ndarray) -> np.ndarray:

@@ -108,3 +108,73 @@ def test_unfitted_transform_rejected(spark):
     df = spark.createDataFrame([("a", 0.0, 1.0)], "sid string, o double, v double")
     with pytest.raises(ValueError, match="fit"):
         ae.WindowedAutoencoderDetector().transform(df, "sid", "o", "v")
+
+
+def test_dense_ae_training_is_deterministic_and_learns():
+    rng = np.random.default_rng(7)
+    # 1-D manifold embedded in 8-D: reconstructable by a 4-dim code
+    t = rng.uniform(0, 2 * np.pi, 400)
+    x = np.stack([np.sin(t + p) for p in np.linspace(0, 1.5, 8)], axis=1)
+    net1 = ae.NumpyDenseAutoencoder(8, hidden_dims=(6, 4), epochs=120, seed=9).fit(x)
+    net2 = ae.NumpyDenseAutoencoder(8, hidden_dims=(6, 4), epochs=120, seed=9).fit(x)
+    for w1, w2 in zip(net1.weights, net2.weights):
+        np.testing.assert_array_equal(w1, w2)  # bit-identical across fits
+    mse_trained = float(np.mean((net1.reconstruct(x) - x) ** 2))
+    untrained = ae.NumpyDenseAutoencoder(8, hidden_dims=(6, 4), epochs=120, seed=9)
+    untrained._init_params(np.random.default_rng(9))
+    mse_init = float(np.mean((untrained.reconstruct(x) - x) ** 2))
+    assert mse_trained < 0.05 * mse_init  # Adam actually descends
+    # mirrored architecture: input→6→4→6→input
+    assert net1.dims == [8, 6, 4, 6, 8]
+
+
+def test_dense_ae_flags_offmanifold_windows(spark):
+    """fit_dense end to end: train on a clean periodic series, then
+    the spiked window scores must dominate — the trained net encodes
+    the manifold, so an off-manifold spike reconstructs poorly."""
+    n, w = 400, 16
+    x = np.sin(np.arange(n) * 0.13)
+    x[300] += 3.0
+    df = spark.createDataFrame(
+        [("s", float(i), float(v)) for i, v in enumerate(x)],
+        "sid string, o double, v double",
+    )
+    det = ae.WindowedAutoencoderDetector(window_size=w, threshold_std=3.0).fit_dense(
+        df, "sid", "o", "v", hidden_dims=(8, 4), epochs=200, seed=4
+    )
+    out = det.transform(df, "sid", "o", "v").toPandas().sort_values("o")
+    scores = out["score"].to_numpy()
+    peak = int(scores.argmax())
+    assert 300 - w < peak <= 300 + w
+    # trained reconstruction of clean windows is much better than of
+    # the spiked ones
+    clean = np.delete(scores[w:], slice(300 - 2 * w, 300 + w))
+    assert scores[peak] > 8 * clean.mean()
+
+
+def test_train_from_sample_matches_fit_dense_weights(spark):
+    """The oracle-replay contract: train_from_sample on the collected
+    frame must equal the weights fit_dense installs (same code path,
+    same sample order)."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for sid in ("a", "b", "c"):
+        for i in range(120):
+            rows.append((sid, float(i), float(np.sin(i * 0.2) + rng.normal(0, 0.01))))
+    df = spark.createDataFrame(rows, "sid string, o double, v double")
+    det = ae.WindowedAutoencoderDetector(window_size=8).fit_dense(
+        df, "sid", "o", "v", hidden_dims=(4,), epochs=5, seed=3
+    )
+    # independent replay from the same rows in hash-priority order
+    import hashlib
+
+    def prio(sid):
+        return int(hashlib.md5(f"3,{sid}".encode()).hexdigest()[:15], 16)
+
+    ordered = sorted(rows, key=lambda r: (prio(r[0]), r[1]))
+    pdf = pd.DataFrame(ordered, columns=["sid", "o", "val"])
+    replay = ae.train_from_sample(
+        pdf, det.scale_, 8, (4,), 1e-3, 5, 64, 3, 20_000
+    )
+    for w1, w2 in zip(det.ae_.weights, replay.weights):
+        np.testing.assert_array_equal(w1, w2)
