@@ -186,38 +186,43 @@ def image_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for i, b, fmt in zip(pdf["id"], pdf["b"], pdf["fmt"]):
-                try:
-                    img = codecs.decode(b, fmt)
-                    luma = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-                    out.append(
-                        dict(
-                            id=i,
-                            ok=True,
-                            err=None,
-                            w=img.shape[1],
-                            h=img.shape[0],
-                            mean_r=float(img[..., 0].mean()),
-                            mean_g=float(img[..., 1].mean()),
-                            mean_b=float(img[..., 2].mean()),
-                            std_luma=float(luma.std()),
-                            # phash64 already returns signed two's-complement
-                            # int64 (codecs.py) — emit as-is, no re-shifting
-                            phash=int(codecs.phash64(img)),
-                        )
-                    )
-                except (codecs.CodecError, Exception) as e:  # noqa: BLE001
-                    out.append(
-                        dict(
-                            id=i, ok=False, err=str(e)[:200], w=None, h=None,
-                            mean_r=None, mean_g=None, mean_b=None,
-                            std_luma=None, phash=None,
-                        )
-                    )
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                [
+                    image_feature_row(i, b, fmt)
+                    for i, b, fmt in zip(pdf["id"], pdf["b"], pdf["fmt"])
+                ]
+            )
 
     return cols.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def image_feature_row(i: str, b: bytes | None, fmt: str) -> dict:
+    """Pure per-image kernel shared by the distributed mapInPandas
+    pass above and the driver-gate oracle's serial literal replay —
+    one implementation, two execution paths."""
+    try:
+        img = codecs.decode(b, fmt)
+        luma = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        return dict(
+            id=i,
+            ok=True,
+            err=None,
+            w=img.shape[1],
+            h=img.shape[0],
+            mean_r=float(img[..., 0].mean()),
+            mean_g=float(img[..., 1].mean()),
+            mean_b=float(img[..., 2].mean()),
+            std_luma=float(luma.std()),
+            # phash64 already returns signed two's-complement
+            # int64 (codecs.py) — emit as-is, no re-shifting
+            phash=int(codecs.phash64(img)),
+        )
+    except (codecs.CodecError, Exception) as e:  # noqa: BLE001
+        return dict(
+            id=i, ok=False, err=str(e)[:200], w=None, h=None,
+            mean_r=None, mean_g=None, mean_b=None,
+            std_luma=None, phash=None,
+        )
 
 
 def _resize_box(img: np.ndarray, tw: int, th: int) -> np.ndarray:
@@ -250,20 +255,27 @@ def image_resize(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for i, b, fmt in zip(pdf["id"], pdf["b"], pdf["fmt"]):
-                try:
-                    img = codecs.decode(b, fmt)
-                    small = _resize_box(img, tw, th)
-                    out.append(
-                        dict(id=i, ok=True, bytes=codecs.encode(small, out_fmt),
-                             w=tw, h=th)
-                    )
-                except Exception:  # noqa: BLE001
-                    out.append(dict(id=i, ok=False, bytes=None, w=None, h=None))
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                [
+                    image_resize_row(i, b, fmt, tw, th, out_fmt)
+                    for i, b, fmt in zip(pdf["id"], pdf["b"], pdf["fmt"])
+                ]
+            )
 
     return cols.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def image_resize_row(
+    i: str, b: bytes | None, fmt: str, tw: int, th: int, out_fmt: str = "ppm"
+) -> dict:
+    """Pure per-image resize kernel — shared by the mapInPandas pass
+    and the driver-gate oracle, like ``image_feature_row``."""
+    try:
+        img = codecs.decode(b, fmt)
+        small = _resize_box(img, tw, th)
+        return dict(id=i, ok=True, bytes=codecs.encode(small, out_fmt), w=tw, h=th)
+    except Exception:  # noqa: BLE001
+        return dict(id=i, ok=False, bytes=None, w=None, h=None)
 
 
 # ---------------------------------------------------------------------------
