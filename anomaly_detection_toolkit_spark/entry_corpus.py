@@ -304,6 +304,66 @@ _MINHASH_PAIRS_SQL = f"""
 """
 
 
+# --- duplicate-cluster resolution: the LSH pairs above resolved to
+# canonical clusters by iterative min-label propagation (Spark side:
+# dedup.connected_components, a distributed fixpoint loop). The oracle
+# re-derives the same fixpoint as a DuckDB RECURSIVE CTE: transitive
+# reachability over the thresholded pair set, min reachable id =
+# cluster id. The two sides share NOTHING but the pair definition —
+# Spark iterates joins to a fixpoint, DuckDB closes the relation
+# recursively — so the hash gate checks the iterative algorithm's
+# convergence and result, not a replay. ---
+
+_CLUSTERS_SQL = f"""
+    WITH RECURSIVE {_SIG_CTE},
+    banded AS (
+      SELECT doc_id, {', '.join(f's{i}' for i in range(_NUM_PERM))},
+             unnest([{', '.join(_band_exprs)}]) AS band_key
+      FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    fpairs AS (
+      SELECT p.id_a, p.id_b
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.id_a
+      JOIN sig sb ON sb.doc_id = p.id_b
+      WHERE ({_agree_sql.replace('a.s', 'sa.s').replace('b.s', 'sb.s')})
+            / {float(_NUM_PERM)} >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM fpairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM fpairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.u, r.lab FROM edges e JOIN reach r ON r.node = e.v
+    ),
+    comp AS (SELECT node AS doc_id, min(lab) AS cluster FROM reach GROUP BY node)
+    SELECT c.doc_id, c.cluster, CAST(s.n AS INTEGER) AS cluster_size
+    FROM comp c
+    JOIN (SELECT cluster, count(*) AS n FROM comp GROUP BY cluster) s
+      USING (cluster)
+"""
+
+
+@register("dedup_clusters_documents", _CLUSTERS_SQL)
+def dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → canonical duplicate clusters (the corpus-level dedup
+    output a training-data pipeline keeps: one representative per
+    group, group size for prevalence stats)."""
+    df = load_table(spark, "documents", sf_dir)
+    pairs = dedup.minhash_lsh_pairs(df, num_perm=_NUM_PERM, bands=_BANDS, threshold=0.5)
+    cc = dedup.connected_components(pairs)
+    return cc.select(F.col("id_a").alias("doc_id"), "cluster", "cluster_size")
+
+
 @register("dedup_minhash_lsh_documents", _MINHASH_PAIRS_SQL)
 def dedup_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, "documents", sf_dir)

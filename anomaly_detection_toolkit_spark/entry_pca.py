@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from anomaly_detection_toolkit_spark.entry_queries import r4, register
+from anomaly_detection_toolkit_spark.entry_queries import r4, register, register_extra
 from anomaly_detection_toolkit_spark.operators.pca import PCADetector
 from anomaly_detection_toolkit_spark.sources.testdata import load_table
 
@@ -288,11 +288,17 @@ def _embedding_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pca_2d_embeddings", _PCA2_BASE)
+# Retired from the 50-slot driver gate in round 3 (slot freed for
+# dedup_clusters_documents): every path it gated — suff-stats fit,
+# Mahalanobis + reconstruction scoring, quantile threshold, verdict —
+# is hash-gated through the REAL eigh/pinv code by
+# pca_maha8d_full_embeddings and pca_partialrank_embeddings above.
+# Kept locally verifiable via register_extra (tools/parity.py merges
+# EXTRA_PAIRS) so the closed-form cross-check remains one command.
+@register_extra("pca_2d_embeddings", _PCA2_BASE)
 def pca_2d_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both closed-form 2-D score paths (full-rank Mahalanobis; k=1
-    reconstruction error) through the real detector, one row set —
-    merged from two round-2 green pairs to fit the 50-query gate."""
+    reconstruction error) through the real detector, one row set."""
     feats = _embedding_2d(spark, sf_dir)
     maha = PCADetector(n_components=2, score_method="mahalanobis").fit(
         feats, ["x1", "x2"]

@@ -48,6 +48,20 @@ def resolved_oracles() -> Dict[str, str]:
     return {k: v for k, v in ORACLES.items() if isinstance(v, str)}
 
 
+# Pairs retired from the driver's 50-slot gate but kept locally
+# verifiable: tools/parity.py merges these in; __spark_entry__ does
+# NOT expose them to the driver. name -> (query fn, oracle).
+EXTRA_PAIRS: Dict[str, tuple] = {}
+
+
+def register_extra(name: str, oracle: str | Callable[[], str]):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        EXTRA_PAIRS[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
 def r4(col):
     """round(x, 4): shared float-noise guard for oracle hashing."""
     return F.round(col, 4)

@@ -193,3 +193,36 @@ def test_winnowing_short_and_empty(spark):
     df = spark.createDataFrame([(0, "tiny"), (1, "")], "doc_id long, text string")
     out = text.winnow_fingerprints(df, k=8, w=4).collect()
     assert out == []  # both below k chars → no fingerprints, no crash
+
+
+def test_connected_components_resolves_clusters(spark):
+    """Pairs → clusters: a 4-node path (forces >1 propagation round —
+    min label must travel the diameter), a 2-node pair, and an
+    isolated pair; singletons (no pairs) never appear."""
+    pairs = spark.createDataFrame(
+        [
+            ("d", "c"),  # path d-c-b-a: diameter 3
+            ("c", "b"),
+            ("b", "a"),
+            ("x", "y"),
+            ("m", "n"),
+        ],
+        "id_a string, id_b string",
+    )
+    out = dedup.connected_components(pairs).collect()
+    got = {r.id_a: (r.cluster, r.cluster_size) for r in out}
+    assert got == {
+        "a": ("a", 4),
+        "b": ("a", 4),
+        "c": ("a", 4),
+        "d": ("a", 4),
+        "x": ("x", 2),
+        "y": ("x", 2),
+        "m": ("m", 2),
+        "n": ("m", 2),
+    }
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a string, id_b string")
+    assert dedup.connected_components(pairs).collect() == []

@@ -93,9 +93,15 @@ def main(argv: list[str]) -> int:
     import __spark_entry__ as entry_mod
     from anomaly_detection_toolkit_spark.session import get_spark
 
+    from anomaly_detection_toolkit_spark.entry_queries import EXTRA_PAIRS
+
     spark = get_spark("parity", cpus=8, shuffle_partitions=8)
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    # retired-but-still-verified pairs (not exposed to the driver)
+    for name, (fn, oracle) in EXTRA_PAIRS.items():
+        qs.setdefault(name, fn)
+        oracles.setdefault(name, oracle() if callable(oracle) else oracle)
     names = argv or sorted(qs)
     con = duck_connection()
     n_fail = 0
