@@ -416,9 +416,19 @@ class PayloadCheck(Check):
                     if dec is not None:
                         h, w = dec.shape[:2]
                         ref = ref_fn(image_id, w, h)
-                        p = codecs.psnr(ref, dec)
                         lossless = fmt in lossless_fmts
-                        if (lossless and not np.array_equal(ref, dec)) or p < psnr_db:
+                        # lossless: uint8 array_equal decides; the
+                        # float64 PSNR is only needed for the (rare)
+                        # violation message — equal arrays have
+                        # PSNR=inf, so skipping it can't change the
+                        # verdict and saves a full float pass per image
+                        if lossless:
+                            bad = not np.array_equal(ref, dec)
+                            p = codecs.psnr(ref, dec) if bad else float("inf")
+                        else:
+                            p = codecs.psnr(ref, dec)
+                            bad = p < psnr_db
+                        if bad:
                             viol(
                                 image_id, part, "bytes", round(p, 2),
                                 ("exact" if lossless else f">={psnr_db}dB"),

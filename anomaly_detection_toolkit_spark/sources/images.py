@@ -91,6 +91,28 @@ def caption_of(image_id: str) -> str:
     return f"caption for {image_id}: synthetic scene {cid % 1000} variant {cid % 7}"
 
 
+# per-(w, h) deterministic geometry, shared by every image of that
+# size: quarter-weighted base gradient, normalized grids, and the 8x8
+# block-expansion index. Only ~5 sizes exist per table, but gen_pixels
+# runs once per IMAGE in the payload check's hot loop — caching these
+# is a measured ~10% kernel win with bit-identical output
+# (test_gen_pixels_reference_hashes pins the exact bytes).
+_GEOM_CACHE: dict[tuple[int, int], tuple] = {}
+
+
+def _geom(w: int, h: int) -> tuple:
+    g = _GEOM_CACHE.get((w, h))
+    if g is None:
+        gx = np.linspace(0, 255, w, dtype=np.float64)
+        gy = np.linspace(0, 255, h, dtype=np.float64)
+        base_q = 0.25 * (gy[:, None] * 0.5 + gx[None, :] * 0.5)[:, :, None]
+        xx = np.arange(w, dtype=np.float64) / w
+        yy = np.arange(h, dtype=np.float64) / h
+        block_ix = np.ix_((np.arange(h) * 8) // h, (np.arange(w) * 8) // w)
+        g = _GEOM_CACHE[(w, h)] = (base_q, xx, yy, block_ix)
+    return g
+
+
 def gen_pixels(i: int, w: int, h: int, seed: int = 42) -> np.ndarray:
     """Deterministic (h, w, 3) uint8 image for id number ``i``.
 
@@ -98,13 +120,9 @@ def gen_pixels(i: int, w: int, h: int, seed: int = 42) -> np.ndarray:
     regenerate the reference pixels from row values alone.
     """
     rng = np.random.Generator(np.random.PCG64((seed << 32) ^ (i * 0x9E3779B1 & 0x7FFFFFFF)))
-    gx = np.linspace(0, 255, w, dtype=np.float64)
-    gy = np.linspace(0, 255, h, dtype=np.float64)
-    base = (gy[:, None] * 0.5 + gx[None, :] * 0.5)[:, :, None]
+    base_q, xx, yy, block_ix = _geom(w, h)
     # per-image spatial structure (so phash is content-discriminating):
     # random-frequency/phase plaid per channel
-    xx = np.arange(w, dtype=np.float64) / w
-    yy = np.arange(h, dtype=np.float64) / h
     img = np.empty((h, w, 3), dtype=np.float64)
     for ch in range(3):
         fx, fy = rng.integers(1, 7), rng.integers(1, 7)
@@ -119,9 +137,12 @@ def gen_pixels(i: int, w: int, h: int, seed: int = 42) -> np.ndarray:
     # block grid): makes the 64 phash bits effectively iid across
     # images → clean tables are collision-free at any test scale
     blockfield = rng.normal(0.0, 45.0, size=(8, 8))
-    yidx = (np.arange(h) * 8) // h
-    xidx = (np.arange(w) * 8) // w
-    img = img + 0.25 * base + noise + blockfield[np.ix_(yidx, xidx)][:, :, None]
+    # in-place adds in the SAME left-to-right order as the original
+    # `img + 0.25*base + noise + block` expression — float64 addition
+    # order preserved, so the bytes are identical (pinned by test)
+    img += base_q
+    img += noise
+    img += blockfield[block_ix][:, :, None]
     # deterministic bright blob in an id-derived 8x8 block: guarantees
     # content (and thus phash) discrimination even between images whose
     # random plaids happen to coincide
@@ -130,7 +151,8 @@ def gen_pixels(i: int, w: int, h: int, seed: int = 42) -> np.ndarray:
     x0, x1 = (bx * w) // 8, ((bx + 1) * w) // 8
     y0, y1 = (by * h) // 8, ((by + 1) * h) // 8
     img[y0:y1, x0:x1, :] += 110.0
-    return np.clip(img, 0, 255).astype(np.uint8)
+    np.clip(img, 0, 255, out=img)
+    return img.astype(np.uint8)
 
 
 def _size_for(i: int, sizes: tuple[int, ...], salt: int) -> int:

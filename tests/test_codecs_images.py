@@ -38,6 +38,27 @@ def test_decode_errors(img):
         codecs.decode(b"XX" + codecs.encode(img, "lossyq")[2:], "lossyq")
 
 
+def test_gen_pixels_reference_hashes():
+    """Pin the EXACT reference-pixel bytes. The payload check, the
+    cached bench tables, and the multimodal serial-replay oracle all
+    assume gen_pixels is a stable pure function of (seed, i, w, h) —
+    any implementation change (however "equivalent" the float math
+    looks) must reproduce these md5s bit-for-bit or the whole
+    downstream evidence chain silently diverges."""
+    import hashlib
+
+    expect = {
+        (0, 32, 32): "f81771494ef08165f1d4feca5d4145cd",
+        (7, 48, 32): "e3db8519d035ff3faaf3f40f59461177",
+        (123, 64, 48): "a9496bb1dd6775398ed06f7a54d971dc",
+        (999983, 96, 128): "7e493122ec735e4507ffc8c5ff33e455",
+        (2147483647, 128, 96): "bf1b5780e1837f50c4cb34c26b1587ac",
+    }
+    for (i, w, h), e in expect.items():
+        got = hashlib.md5(images.gen_pixels(i, w, h).tobytes()).hexdigest()
+        assert got == e, f"gen_pixels({i},{w},{h}) drifted: {got}"
+
+
 def test_phash_deterministic_and_content_sensitive():
     a = images.gen_pixels(1, 64, 64)
     b = images.gen_pixels(2, 64, 64)
