@@ -160,6 +160,42 @@ def snapshot_id(input_path: str) -> str:
     return h.hexdigest()[:16]
 
 
+def partition_fingerprints(input_path: str, part_col: str = "part") -> dict[int, str]:
+    """Per-partition content hash of a Hive-partitioned table's file
+    listing — the per-partition analogue of :func:`snapshot_id` and
+    the manifest-fallback for Iceberg's incremental scan. At 10^12
+    rows a new snapshot is almost always an APPEND (yesterday's
+    partitions untouched); fingerprinting each ``part=k`` directory
+    lets the ledger re-validate only partitions whose bytes actually
+    changed instead of the whole table. Returns {} for a table that is
+    not directory-partitioned (callers fall back to a full re-run)."""
+    import hashlib
+
+    fps: dict[int, str] = {}
+    prefix = f"{part_col}="
+    if not os.path.isdir(input_path):
+        return fps
+    for entry in sorted(os.listdir(input_path)):
+        full = os.path.join(input_path, entry)
+        if not (entry.startswith(prefix) and os.path.isdir(full)):
+            continue
+        try:
+            part = int(entry[len(prefix):])
+        except ValueError:
+            continue
+        h = hashlib.sha256()
+        for root, _dirs, files in sorted(os.walk(full)):
+            for fn in sorted(files):
+                if fn.startswith(("_", ".")):
+                    continue
+                p = os.path.join(root, fn)
+                h.update(
+                    f"{os.path.relpath(p, full)}:{os.stat(p).st_size}".encode()
+                )
+        fps[part] = h.hexdigest()[:16]
+    return fps
+
+
 class Ledger:
     """JSON manifest: snapshot id + completed partitions + output lineage."""
 
@@ -187,13 +223,68 @@ class Ledger:
         done = set(state["completed_parts"])
         return [p for p in all_parts if p not in done]
 
-    def record(self, snap: str, parts: list[int], outputs: dict[str, str]) -> None:
+    def remaining_parts_incremental(
+        self, snap: str, all_parts: list[int], fps: dict[int, str]
+    ) -> list[int]:
+        """Incremental planning: on a NEW snapshot, re-validate only
+        partitions that are new, were never completed, or whose file
+        fingerprint changed since they were validated. A legacy ledger
+        without fingerprints (or a non-directory-partitioned table,
+        fps={}) degrades to the full re-run of ``remaining_parts``."""
+        state = self.load()
+        done = set(state["completed_parts"])
+        if state["snapshot_id"] == snap:
+            return [p for p in all_parts if p not in done]
+        recorded = state.get("part_fingerprints", {})
+        return [
+            p
+            for p in all_parts
+            if p not in done
+            or recorded.get(str(p)) is None
+            or recorded.get(str(p)) != fps.get(p)
+        ]
+
+    def record(
+        self,
+        snap: str,
+        parts: list[int],
+        outputs: dict[str, str],
+        fingerprints: dict[int, str] | None = None,
+        carry_fps: dict[int, str] | None = None,
+    ) -> None:
+        """Record completed ``parts`` under snapshot ``snap``.
+
+        ``carry_fps`` (the CURRENT per-partition fingerprints) switches
+        a snapshot advance from "reset everything" to the incremental
+        semantics: completed parts whose recorded fingerprint still
+        matches the current one stay completed; only stale entries are
+        dropped. ``fingerprints`` records the validated parts' hashes
+        for future incremental runs."""
         state = self.load()
         if state["snapshot_id"] != snap:
-            state = {"snapshot_id": snap, "completed_parts": [], "runs": []}
+            if carry_fps is not None:
+                recorded = state.get("part_fingerprints", {})
+                keep = [
+                    p
+                    for p in state["completed_parts"]
+                    if recorded.get(str(p)) is not None
+                    and recorded.get(str(p)) == carry_fps.get(p)
+                ]
+                state = {
+                    "snapshot_id": snap,
+                    "completed_parts": keep,
+                    "part_fingerprints": {str(p): recorded[str(p)] for p in keep},
+                    "runs": state["runs"],
+                }
+            else:
+                state = {"snapshot_id": snap, "completed_parts": [], "runs": []}
         state["completed_parts"] = sorted(set(state["completed_parts"]) | set(parts))
+        if fingerprints:
+            pf = state.setdefault("part_fingerprints", {})
+            pf.update({str(p): v for p, v in fingerprints.items()})
         state["runs"].append(
-            {"ts": time.time(), "parts": sorted(parts), "outputs": outputs}
+            {"ts": time.time(), "snapshot_id": snap, "parts": sorted(parts),
+             "outputs": outputs}
         )
         self.save(state)
 
@@ -204,9 +295,15 @@ def run_validation_job(
     output_dir: str,
     checks: list[Check] | None = None,
     part_col: str = "part",
+    incremental: bool = False,
 ) -> SuiteResult | None:
     """Resumable end-to-end job: plan remaining partitions from the
     ledger, run the suite, append outputs, record completion.
+
+    ``incremental=True`` plans a NEW snapshot with per-partition file
+    fingerprints (Iceberg incremental-scan analogue): only new or
+    changed ``part=`` directories are re-validated — an append-mostly
+    10^12-row table revalidates one day's partition, not its history.
 
     Returns None if the ledger says everything is already validated
     for the current snapshot (idempotent re-run)."""
@@ -217,7 +314,12 @@ def run_validation_job(
     snap = snapshot_id(input_path)
     ledger = Ledger(os.path.join(output_dir, "_ledger"))
     all_parts = sorted(r[0] for r in df.select(part_col).distinct().collect())
-    todo = ledger.remaining_parts(snap, all_parts)
+    fps: dict[int, str] = {}
+    if incremental:
+        fps = partition_fingerprints(input_path, part_col)
+        todo = ledger.remaining_parts_incremental(snap, all_parts, fps)
+    else:
+        todo = ledger.remaining_parts(snap, all_parts)
     if not todo:
         return None
     result = run_suite(df, checks, part_col=part_col, parts=todo)
@@ -230,7 +332,13 @@ def run_validation_job(
         path = os.path.join(output_dir, name)
         out_df.write.mode("append").parquet(path)
         outputs[name] = path
-    ledger.record(snap, result.parts_checked, outputs)
+    ledger.record(
+        snap,
+        result.parts_checked,
+        outputs,
+        fingerprints={p: fps[p] for p in result.parts_checked if p in fps} or None,
+        carry_fps=fps if incremental else None,
+    )
     # outputs are materialized — release the shared narrow-projection
     # cache (violations/metrics stay persisted for the caller)
     for d in result.cached:

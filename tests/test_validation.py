@@ -163,6 +163,52 @@ def test_resumable_ledger(spark, tmp_path):
     assert r4 is not None and r4.parts_checked == [0, 1, 2, 3]
 
 
+def test_incremental_ledger_revalidates_only_changed_parts(spark, tmp_path):
+    """Iceberg-incremental-scan analogue: appending or rewriting one
+    ``part=`` directory must re-validate only that partition, not the
+    history — the property that makes the ledger usable on an
+    append-mostly 10^12-row table where the snapshot id changes on
+    every ingest."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    images.write_images(spark, src, 800, n_parts=4)
+    suite = [C.ReferentialCheck()]
+
+    r1 = R.run_validation_job(spark, src, out, checks=suite, incremental=True)
+    assert r1 is not None and r1.parts_checked == [0, 1, 2, 3]
+    # idempotent on an unchanged snapshot
+    assert R.run_validation_job(spark, src, out, checks=suite, incremental=True) is None
+
+    # APPEND a new partition directory → snapshot changes, but only
+    # the new partition is planned
+    shutil.copytree(f"{src}/part=3", f"{src}/part=4")
+    r2 = R.run_validation_job(spark, src, out, checks=suite, incremental=True)
+    assert r2 is not None and r2.parts_checked == [4]
+
+    # REWRITE one existing partition (extra file → fingerprint change)
+    # → only that partition is planned
+    f0 = next(f for f in os.listdir(f"{src}/part=1") if f.endswith(".parquet"))
+    shutil.copy(f"{src}/part=1/{f0}", f"{src}/part=1/part-extra.parquet")
+    r3 = R.run_validation_job(spark, src, out, checks=suite, incremental=True)
+    assert r3 is not None and r3.parts_checked == [1]
+
+    # ledger state: every partition completed, fingerprints recorded
+    state = R.Ledger(f"{out}/_ledger").load()
+    assert state["completed_parts"] == [0, 1, 2, 3, 4]
+    assert set(state["part_fingerprints"]) == {"0", "1", "2", "3", "4"}
+    assert state["snapshot_id"] == R.snapshot_id(src)
+
+    # the NON-incremental path keeps its full-re-run-on-new-snapshot
+    # semantics for the same ledger
+    f2 = next(f for f in os.listdir(f"{src}/part=2") if f.endswith(".parquet"))
+    shutil.copy(f"{src}/part=2/{f2}", f"{src}/part=2/part-extra.parquet")
+    r4 = R.run_validation_job(spark, src, out, checks=suite)
+    assert r4 is not None and r4.parts_checked == [0, 1, 2, 3, 4]
+
+
 def test_northstar_oracle_assumptions(spark):
     """Pin the two dataset-level facts the flagship's ground-truth
     DuckDB oracle (entry_suite._NORTHSTAR_SQL) relies on at the

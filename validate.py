@@ -33,6 +33,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", required=True, help="output dir (verdicts/violations/metrics + ledger)")
     ap.add_argument("--part-col", default="part")
     ap.add_argument(
+        "--incremental",
+        action="store_true",
+        help="on a NEW snapshot re-validate only new/changed part= "
+        "directories (per-partition fingerprint ledger) instead of the "
+        "whole table — the append-mostly petabyte-table mode",
+    )
+    ap.add_argument(
         "--master",
         default="inherit",
         help="'inherit' under spark-submit (default), or e.g. local[8]",
@@ -41,7 +48,13 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("adt-validate", master=args.master)
     t0 = time.perf_counter()
-    result = run_validation_job(spark, args.input, args.output, part_col=args.part_col)
+    result = run_validation_job(
+        spark,
+        args.input,
+        args.output,
+        part_col=args.part_col,
+        incremental=args.incremental,
+    )
     dt = time.perf_counter() - t0
     if result is None:
         print(f"nothing to do: snapshot already fully validated ({dt:.1f}s)")
