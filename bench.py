@@ -47,6 +47,25 @@ def ensure_image_table(spark, n: int, n_parts: int) -> str:
     return path
 
 
+def host_speed_probe(procs: int = 8) -> float:
+    """Seconds for a fixed raw-numpy multiprocessing workload.
+
+    This sandbox's shared host swings 2-4x between quiet and busy
+    windows (BENCH/BASELINE.md notes); recording the host's own speed
+    alongside the suite numbers lets round-over-round comparisons be
+    normalized instead of mistaking host noise for regressions.
+    """
+    import multiprocessing as mp
+
+    from tools.scaling_bench import _numpy_work
+
+    with mp.Pool(procs) as p:
+        p.map(abs, range(procs))  # warm workers
+        t0 = time.perf_counter()
+        p.map(_numpy_work, range(64))
+        return round(time.perf_counter() - t0, 3)
+
+
 def bench_validation_suite(spark, img_path: str, runs: int = 2) -> tuple[float, int]:
     from anomaly_detection_toolkit_spark.plans.checks import default_suite
     from anomaly_detection_toolkit_spark.plans.runner import run_suite
@@ -120,7 +139,7 @@ def main() -> None:
         # drop caches the contract queries leaked so the 500k suite
         # measures from a clean executor-memory state
         spark.catalog.clearCache()
-        sec_500k, n_500k = bench_validation_suite(spark, str(big_path))
+        sec_500k, n_500k = bench_validation_suite(spark, str(big_path), runs=3)
         timings["validation_suite_500k"] = round(sec_500k, 3)
         img_500k = round(n_500k / sec_500k, 1)
 
@@ -142,11 +161,15 @@ def main() -> None:
     # take-the-last-line parse of the bench output. The headline line
     # itself stays COMPACT (<300 bytes) so tail capture can't cut it.
     spark.stop()
+    # host-state probe AFTER the JVM is gone so it measures the box,
+    # not contention with our own executors
+    host_sec = host_speed_probe()
     print(
         json.dumps(
             {
                 "metric": "validation suite + driver queries wall-time",
                 "value": total,
+                "host_numpy_8p_sec": host_sec,
                 "unit": "sec",
                 "queries": {
                     "validation_suite": timings["validation_suite"],
