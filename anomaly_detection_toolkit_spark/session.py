@@ -46,7 +46,13 @@ def get_spark(
         # Image payload batches can be MBs per row group; keep Arrow
         # batches bounded so the Python decode workers stay small.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("ADT_SPARK_DRIVER_MEM", "24g"))
+        # 56g: the 500k-image bench table is 4.3GB parquet ≈ 10-17GB
+        # as in-memory columnar cache; a 24g heap's ~14GB storage pool
+        # silently evicted it under shuffle pressure, so the
+        # "input persisted" bench methodology degraded to virtio disk
+        # re-reads. The box has 125GB; on a real cluster the submit
+        # conf / this env var overrides.
+        .config("spark.driver.memory", os.environ.get("ADT_SPARK_DRIVER_MEM", "56g"))
         # Split scans finer than the 128MB default: payload rows are
         # ~35KB so a 128MB split holds ~4k images ≈ seconds of Python
         # decode — with GB-scale local tables that caps scan
