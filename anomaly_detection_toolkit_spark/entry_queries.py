@@ -183,6 +183,36 @@ def column_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-partition quantile constraints (ColumnStatsCheck p<NN>_min/_max
+# bounds): EXTRA pair — the driver registry stays at exactly 50.
+# Spark `percentile` ⇔ DuckDB `quantile_cont` (same linear
+# interpolation; already proven by the pm_rolling_events pair). The
+# `approx=True` sketch path is covered by tests, not the oracle.
+_QSTATS_SQL = """
+    SELECT 'column_stats' AS check, CAST(hour(ts) AS INTEGER) AS part,
+           'value.p50' AS metric, round(quantile_cont(value, 0.50), 4) AS value
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'column_stats', CAST(hour(ts) AS INTEGER),
+           'value.p90', round(quantile_cont(value, 0.90), 4)
+    FROM events GROUP BY 2
+"""
+
+
+@register_extra("column_quantile_stats_events", _QSTATS_SQL)
+def column_quantile_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_toolkit_spark.plans.checks import ColumnStatsCheck
+
+    df = load_table(spark, "events", sf_dir).withColumn(
+        "part", F.hour(F.col("ts").cast("timestamp"))
+    )
+    chk = ColumnStatsCheck({"value": {"p50_min": -1e18, "p90_max": 1e18}})
+    out = chk.run(df)
+    return out.metrics.filter(
+        F.col("metric").isin("value.p50", "value.p90")
+    ).select("check", "part", "metric", r4(F.col("value")).alias("value"))
+
+
 # ---------------------------------------------------------------------------
 # SURVEY §2 ops 37/38/45: grouped rolling window statistics
 # ---------------------------------------------------------------------------

@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from anomaly_detection_toolkit_spark.entry_queries import ORACLES, r4, register
+from anomaly_detection_toolkit_spark.entry_queries import (
+    ORACLES,
+    r4,
+    register,
+    register_extra,
+)
 from anomaly_detection_toolkit_spark.operators import wavelet as wv
 from anomaly_detection_toolkit_spark.sources.testdata import load_table
 
@@ -293,3 +298,49 @@ def _db4_detect_sql(levels: int = 5, factor: float = 3.0) -> str:
 
 
 ORACLES["wavelet_detect_events"] = _db4_detect_sql(5)
+
+
+# ---------------------------------------------------------------------------
+# Morlet CWT (op-28, wavelet.py:223-258) — the last wavelet surface
+# that was tests-only. The transform is a per-scale convolution with
+# ψ(t) = exp(-t²/2)·cos(5t)/√s sampled at t = d/s, d ∈ [-4s, 4s], and
+# numpy's center-cropped 'full' convolution reduces to
+#   out[i] = Σ_d x[i+d]·ψ(d/s)   (missing neighbours ≡ zero padding)
+# which is a gather join: positions × generated taps, grouped sum.
+# Registered as an EXTRA pair (tools/parity.py gate) so the driver
+# registry stays at exactly 50.
+# ---------------------------------------------------------------------------
+
+_CWT_SCALES = (2, 4, 8)
+
+_CWT_SQL = f"""
+    WITH s AS MATERIALIZED (
+      SELECT event_type AS series,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) - 1 AS i,
+             value
+      FROM events
+    ),
+    taps AS (
+      SELECT sc AS scale, d,
+             exp(-0.5 * pow(d * 1.0 / sc, 2)) * cos(5.0 * d / sc)
+               / sqrt(sc * 1.0) AS wgt
+      FROM (SELECT UNNEST(ARRAY{list(_CWT_SCALES)}) AS sc),
+           LATERAL (SELECT UNNEST(generate_series(-4 * sc, 4 * sc)) AS d)
+    )
+    SELECT base.series, CAST(t.scale AS INTEGER) AS scale,
+           CAST(base.i AS INTEGER) AS idx,
+           round(sum(x.value * t.wgt), 4) AS coeff
+    FROM s base
+    JOIN taps t ON TRUE
+    JOIN s x ON x.series = base.series AND x.i = base.i + t.d
+    GROUP BY base.series, t.scale, base.i
+"""
+
+
+@register_extra("wavelet_cwt_events", _CWT_SQL)
+def wavelet_cwt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = wv.cwt(_series(spark, sf_dir), "series", "t", "value", scales=_CWT_SCALES)
+    return out.select(
+        "series", "scale", "idx", r4(F.col("coeff")).alias("coeff")
+    )

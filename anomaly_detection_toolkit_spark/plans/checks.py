@@ -19,6 +19,7 @@ afterwards, no driver-side loops over data.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from typing import Callable, Iterator, Sequence
 
@@ -140,17 +141,42 @@ class ColumnStatsCheck(Check):
     constraint evaluation runs on that tiny table.
 
     constraints: ``{col: {"max_null_rate": x, "min": lo, "max": hi}}``
+    plus quantile bounds ``"p<NN>_min"`` / ``"p<NN>_max"`` (e.g.
+    ``"p99_max": 4096`` fails a partition whose 99th-percentile width
+    exceeds 4096). Quantiles are EXACT (``percentile``) by default;
+    ``approx=True`` switches to ``percentile_approx`` — a mergeable
+    positional sketch whose partial states combine map-side like the
+    other aggregates, the right trade at 10^12 rows where an exact
+    per-partition sort-based percentile would dominate the pass.
     """
 
     name = "column_stats"
 
-    def __init__(self, constraints: dict[str, dict[str, float]], part_col: str = "part"):
+    def __init__(
+        self,
+        constraints: dict[str, dict[str, float]],
+        part_col: str = "part",
+        approx: bool = False,
+        approx_accuracy: int = 10000,
+    ):
         self.constraints = constraints
         self.part_col = part_col
+        self.approx = approx
+        self.approx_accuracy = approx_accuracy
+
+    @staticmethod
+    def _quantile_tags(bounds: dict[str, float]) -> dict[str, float]:
+        """{'p99': 0.99, ...} from bound keys like 'p99_min'/'p99_max'."""
+        out: dict[str, float] = {}
+        for key in bounds:
+            m = re.fullmatch(r"(p(\d{1,2}(?:\.\d+)?))_(?:min|max)", key)
+            if m:
+                out[m.group(1)] = float(m.group(2)) / 100.0
+        return out
 
     def _stats(self, df: DataFrame) -> DataFrame:
         aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
-        for c in self.constraints:
+        for c, bounds in self.constraints.items():
             col = F.col(c).cast("double")
             aggs += [
                 F.count(col).alias(f"{c}__nn"),
@@ -159,6 +185,13 @@ class ColumnStatsCheck(Check):
                 F.avg(col).alias(f"{c}__mean"),
                 F.stddev_pop(col).alias(f"{c}__std"),
             ]
+            for tag, q in self._quantile_tags(bounds).items():
+                agg = (
+                    F.percentile_approx(col, F.lit(q), F.lit(self.approx_accuracy))
+                    if self.approx
+                    else F.percentile(col, F.lit(q))
+                )
+                aggs.append(agg.alias(f"{c}__{tag}"))
         return df.groupBy(F.col(self.part_col).alias("part")).agg(*aggs)
 
     def run(self, df: DataFrame) -> CheckOutput:
@@ -177,6 +210,8 @@ class ColumnStatsCheck(Check):
                 "stddev": F.col(f"{c}__std"),
                 "n_non_null": F.col(f"{c}__nn"),
             }
+            for tag in self._quantile_tags(bounds):
+                stat_map[tag] = F.col(f"{c}__{tag}")
             for metric, expr in stat_map.items():
                 metrics.append(
                     stats.select(
@@ -191,6 +226,12 @@ class ColumnStatsCheck(Check):
                 ("min", F.col(f"{c}__min"), lambda v, b: v < F.lit(b)),
                 ("max", F.col(f"{c}__max"), lambda v, b: v > F.lit(b)),
             ]
+            for tag in self._quantile_tags(bounds):
+                q_col = F.col(f"{c}__{tag}")
+                rules += [
+                    (f"{tag}_min", q_col, lambda v, b: v < F.lit(b)),
+                    (f"{tag}_max", q_col, lambda v, b: v > F.lit(b)),
+                ]
             for key, expr, breach in rules:
                 if key in bounds:
                     viols.append(

@@ -91,6 +91,33 @@ def test_column_stats_nulls(table, truth):
     assert {"w.null_rate", "w.mean", "h.stddev"} <= set(m["metric"].unique())
 
 
+def test_column_stats_quantiles(table):
+    pdf = table.select("part", "w").toPandas()
+    exact_p90 = pdf.groupby("part")["w"].quantile(0.9)  # linear interp
+    bound = float(exact_p90.median())
+    out = C.ColumnStatsCheck({"w": {"p90_max": bound, "p50_min": -1.0}}).run(table)
+    m = out.metrics.toPandas()
+    got = m[m["metric"] == "w.p90"].set_index("part")["value"]
+    for p, v in exact_p90.items():
+        assert abs(got[p] - v) < 1e-9, p  # Spark percentile == pandas linear
+    assert "w.p50" in set(m["metric"])
+    # exactly the partitions whose p90 breaches the bound are flagged
+    viol = out.violations.toPandas()
+    assert set(viol["part"]) == set(exact_p90[exact_p90 > bound].index)
+    # sketch path (the 10^12-row plan): mergeable partials, value
+    # lands on a real order statistic inside the p85..p95 band
+    out2 = C.ColumnStatsCheck({"w": {"p90_max": bound}}, approx=True).run(table)
+    got2 = (
+        out2.metrics.toPandas()
+        .pipe(lambda d: d[d["metric"] == "w.p90"])
+        .set_index("part")["value"]
+    )
+    lo = pdf.groupby("part")["w"].quantile(0.85)
+    hi = pdf.groupby("part")["w"].quantile(0.95)
+    for p in exact_p90.index:
+        assert lo[p] <= got2[p] <= hi[p], p
+
+
 def test_drift_detects_drifted_partitions(table, truth):
     out = C.DriftCheck().run(table)
     v = out.violations.toPandas()
