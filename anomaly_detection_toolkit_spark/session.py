@@ -12,6 +12,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """~45% of machine RAM, capped at 24g.
+
+    The cap is EMPIRICAL, not arbitrary: raising it to 56g (to make
+    the 500k-image bench cache fully heap-resident) measured 1.9x
+    SLOWER on the local[8] validation suite on this box (215s vs
+    115s, same code, same input, A/B'd in one session) — a large G1
+    heap's page-commit/GC behavior costs more than re-reading
+    OS-page-cached parquet ever did. Small machines scale down so the
+    JVM stays under the OOM-killer line."""
+    try:
+        total_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30
+    except (ValueError, OSError, AttributeError):
+        total_gb = 16.0
+    return f"{max(4, min(24, int(total_gb * 0.45)))}g"
+
+
 def get_spark(
     app_name: str = "adt-spark",
     cpus: int | None = None,
@@ -46,13 +63,12 @@ def get_spark(
         # Image payload batches can be MBs per row group; keep Arrow
         # batches bounded so the Python decode workers stay small.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        # 56g: the 500k-image bench table is 4.3GB parquet ≈ 10-17GB
-        # as in-memory columnar cache; a 24g heap's ~14GB storage pool
-        # silently evicted it under shuffle pressure, so the
-        # "input persisted" bench methodology degraded to virtio disk
-        # re-reads. The box has 125GB; on a real cluster the submit
-        # conf / this env var overrides.
-        .config("spark.driver.memory", os.environ.get("ADT_SPARK_DRIVER_MEM", "56g"))
+        # see _default_driver_mem for the measured 24g cap rationale;
+        # submit conf / the env var overrides either way.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("ADT_SPARK_DRIVER_MEM", _default_driver_mem()),
+        )
         # Split scans finer than the 128MB default: payload rows are
         # ~35KB so a 128MB split holds ~4k images ≈ seconds of Python
         # decode — with GB-scale local tables that caps scan
