@@ -166,13 +166,21 @@ class ColumnStatsCheck(Check):
 
     @staticmethod
     def _quantile_tags(bounds: dict[str, float]) -> dict[str, float]:
-        """{'p99': 0.99, ...} from bound keys like 'p99_min'/'p99_max'."""
+        """{'p99': 0.99, ...} from bound keys like 'p99_min'/'p99_max'.
+
+        Fractional percentiles are keyed with '_' in the generated
+        column name ('p99.5' → stat column c__p99_5) because a dot in
+        an F.col() reference parses as a nested-field access."""
         out: dict[str, float] = {}
         for key in bounds:
             m = re.fullmatch(r"(p(\d{1,2}(?:\.\d+)?))_(?:min|max)", key)
             if m:
                 out[m.group(1)] = float(m.group(2)) / 100.0
         return out
+
+    @staticmethod
+    def _tag_col(tag: str) -> str:
+        return tag.replace(".", "_")
 
     def _stats(self, df: DataFrame) -> DataFrame:
         aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
@@ -191,7 +199,7 @@ class ColumnStatsCheck(Check):
                     if self.approx
                     else F.percentile(col, F.lit(q))
                 )
-                aggs.append(agg.alias(f"{c}__{tag}"))
+                aggs.append(agg.alias(f"{c}__{self._tag_col(tag)}"))
         return df.groupBy(F.col(self.part_col).alias("part")).agg(*aggs)
 
     def run(self, df: DataFrame) -> CheckOutput:
@@ -211,7 +219,7 @@ class ColumnStatsCheck(Check):
                 "n_non_null": F.col(f"{c}__nn"),
             }
             for tag in self._quantile_tags(bounds):
-                stat_map[tag] = F.col(f"{c}__{tag}")
+                stat_map[tag] = F.col(f"{c}__{self._tag_col(tag)}")
             for metric, expr in stat_map.items():
                 metrics.append(
                     stats.select(
@@ -227,7 +235,7 @@ class ColumnStatsCheck(Check):
                 ("max", F.col(f"{c}__max"), lambda v, b: v > F.lit(b)),
             ]
             for tag in self._quantile_tags(bounds):
-                q_col = F.col(f"{c}__{tag}")
+                q_col = F.col(f"{c}__{self._tag_col(tag)}")
                 rules += [
                     (f"{tag}_min", q_col, lambda v, b: v < F.lit(b)),
                     (f"{tag}_max", q_col, lambda v, b: v > F.lit(b)),

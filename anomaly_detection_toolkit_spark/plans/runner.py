@@ -156,7 +156,9 @@ def snapshot_id(input_path: str) -> str:
                 continue
             p = os.path.join(root, fn)
             st = os.stat(p)
-            h.update(f"{os.path.relpath(p, input_path)}:{st.st_size}".encode())
+            h.update(
+                f"{os.path.relpath(p, input_path)}:{st.st_size}:{st.st_mtime_ns}".encode()
+            )
     return h.hexdigest()[:16]
 
 
@@ -189,8 +191,13 @@ def partition_fingerprints(input_path: str, part_col: str = "part") -> dict[int,
                 if fn.startswith(("_", ".")):
                     continue
                 p = os.path.join(root, fn)
+                st = os.stat(p)
+                # name+size alone misses an in-place same-size rewrite
+                # (fixed-width re-ingest): include mtime so a touched
+                # partition re-validates rather than silently keeping
+                # stale verdicts
                 h.update(
-                    f"{os.path.relpath(p, full)}:{os.stat(p).st_size}".encode()
+                    f"{os.path.relpath(p, full)}:{st.st_size}:{st.st_mtime_ns}".encode()
                 )
         fps[part] = h.hexdigest()[:16]
     return fps

@@ -95,7 +95,12 @@ def test_column_stats_quantiles(table):
     pdf = table.select("part", "w").toPandas()
     exact_p90 = pdf.groupby("part")["w"].quantile(0.9)  # linear interp
     bound = float(exact_p90.median())
-    out = C.ColumnStatsCheck({"w": {"p90_max": bound, "p50_min": -1.0}}).run(table)
+    # fractional percentile: tag contains a dot — must not be parsed
+    # as a nested-field reference in the generated stat column
+    out = C.ColumnStatsCheck(
+        {"w": {"p90_max": bound, "p50_min": -1.0, "p99.5_max": 1e18}}
+    ).run(table)
+    assert "w.p99.5" in set(out.metrics.toPandas()["metric"])
     m = out.metrics.toPandas()
     got = m[m["metric"] == "w.p90"].set_index("part")["value"]
     for p, v in exact_p90.items():
