@@ -488,6 +488,17 @@ def connected_components(
         labels = upd
         if changed == 0:
             break
+    else:
+        # exhausting max_iter with labels still moving would return
+        # silently WRONG clusters (split components, wrong min-ids) —
+        # refuse instead; the caller can raise max_iter or switch to a
+        # large-star/small-star formulation for path-shaped graphs
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); component diameter exceeds "
+            "max_iter — raise it or use an O(log n)-round algorithm"
+        )
     edges.unpersist()
     sizes = labels.groupBy("lab").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "lab").select(

@@ -226,3 +226,14 @@ def test_connected_components_resolves_clusters(spark):
 def test_connected_components_empty_pairs(spark):
     pairs = spark.createDataFrame([], "id_a string, id_b string")
     assert dedup.connected_components(pairs).collect() == []
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Exhausting max_iter with labels still moving must raise, not
+    return silently split clusters."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "id_a string, id_b string",
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=1)
