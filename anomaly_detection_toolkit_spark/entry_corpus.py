@@ -504,7 +504,7 @@ def ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity.fit_kmeans_arrays), so the lazy oracle refits the
 # IDENTICAL centroids outside Spark (DuckDB reproduces the id-hash
 # sample order), embeds them as literals, and re-derives cell
-# assignment (argmax of c·x − |c|²/2, ties → lowest cell), the
+# assignment (argmax of round(c·x − |c|²/2, 6dp), ties → lowest cell), the
 # n_probe query cells, and the exact-cosine rerank entirely in SQL.
 
 _IVF_CELLS, _IVF_PROBE, _IVF_SEED = 16, 4, 42
@@ -556,7 +556,7 @@ def _ivf_oracle_sql() -> str:
     ranked AS MATERIALIZED (
       SELECT vec_id, c,
              row_number() OVER (PARTITION BY vec_id
-                                ORDER BY score DESC, c) AS rn
+                                ORDER BY round(score, 6) DESC, c) AS rn
       FROM s
     ),
     cellof AS (SELECT vec_id, c FROM ranked WHERE rn = 1),

@@ -256,6 +256,11 @@ def collect_vector_sample(
         .limit(max_rows)
         .toPandas()
     )
+    if len(pdf) == 0:
+        raise ValueError(
+            f"collect_vector_sample: no rows in {vec_col!r} to sample "
+            "(empty or fully-filtered input)"
+        )
     return np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
 
 
@@ -269,6 +274,11 @@ def fit_kmeans_arrays(
     the IVF oracle refits the identical centroids outside Spark.
     Assignment uses the dot form argmax(c·x − |c|²/2) ≡ argmin L2,
     the same form the SQL oracle evaluates."""
+    if len(x) < n_cells:
+        raise ValueError(
+            f"fit_kmeans_arrays: sample has {len(x)} rows < n_cells="
+            f"{n_cells}; lower n_cells or raise max_fit_rows"
+        )
     cent = x[:n_cells].copy()
     for _ in range(n_iter):
         scores = x @ cent.T - 0.5 * (cent * cent).sum(axis=1)
@@ -312,16 +322,22 @@ def ivf_topk(
     cent = fit_kmeans_arrays(x, n_cells)
     half_norms = 0.5 * (cent * cent).sum(axis=1)
 
+    # cell scores are rounded to 6dp before argmax/argsort (matching
+    # the oracle's ORDER BY round(score,6) DESC, c): BLAS summation
+    # order differs from any re-derivation's, and an unquantized
+    # near-tie between two cells would flip assignment cross-engine.
+    # Ties after rounding resolve to the LOWEST cell on both sides
+    # (np first-max / stable argsort ⇔ ORDER BY ..., c).
     @F.pandas_udf("int")
     def cell_of(v: pd.Series) -> pd.Series:
         xb = np.stack([np.asarray(a, dtype=np.float64) for a in v])
-        s = xb @ cent.T - half_norms
+        s = np.round(xb @ cent.T - half_norms, 6)
         return pd.Series(np.argmax(s, axis=1).astype(np.int32))
 
     @F.pandas_udf("array<int>")
     def probe_of(v: pd.Series) -> pd.Series:
         xb = np.stack([np.asarray(a, dtype=np.float64) for a in v])
-        s = xb @ cent.T - half_norms
+        s = np.round(xb @ cent.T - half_norms, 6)
         idx = np.argsort(-s, axis=1, kind="stable")[:, :n_probe]
         return pd.Series([row.astype(np.int32) for row in idx])
 
