@@ -35,8 +35,10 @@ _IMG_SEED = 42
 _IMG_PARTS = 4
 
 
-def _e4(x: float | None) -> str:
-    return "NULL" if x is None else str(math.floor(x * 10000.0))
+def _e4(x: float | None) -> int | None:
+    """floor(x*1e4) fixed-point encoding — one definition shared by
+    the serial-replay rows (the Spark side mirrors it with F.floor)."""
+    return None if x is None else math.floor(x * 10000.0)
 
 
 def _image_pipeline_oracle_sql() -> str:
@@ -62,10 +64,8 @@ def _image_pipeline_oracle_sql() -> str:
                 ok=f["ok"],
                 w=f["w"],
                 h=f["h"],
-                mean_r_e4=None if f["mean_r"] is None else math.floor(f["mean_r"] * 10000.0),
-                std_luma_e4=None
-                if f["std_luma"] is None
-                else math.floor(f["std_luma"] * 10000.0),
+                mean_r_e4=_e4(f["mean_r"]),
+                std_luma_e4=_e4(f["std_luma"]),
                 phash=f["phash"],
             )
         )

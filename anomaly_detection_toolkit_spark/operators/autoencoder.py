@@ -366,7 +366,10 @@ class WindowedAutoencoderDetector:
         The sample is the first ``max_fit_rows`` rows ordered by
         (60-bit md5 of the seed-salted SERIES key, ``order_col``) —
         series are taken in engine-stable hash-priority order, each as
-        an order-contiguous prefix, so the collected matrix (content
+        an order-contiguous prefix, with the value itself as the final
+        sort key — duplicate ``order_col`` values within a series
+        (the tie hazard CLAUDE.md warns about) then leave only
+        value-identical rows tied, so the collected matrix (content
         AND order) is layout-independent and reproducible outside
         Spark (the driver-gate oracle replays the identical training
         from a DuckDB read; same trick as the iForest literal-tree
@@ -399,7 +402,7 @@ class WindowedAutoencoderDetector:
                 prio.alias("_p"),
                 F.col(order_col).alias("_o"),
             )
-            .orderBy("_p", "_o")
+            .orderBy("_p", "_o", "val")
             .limit(max_fit_rows)
             .toPandas()
         )
