@@ -298,31 +298,40 @@ def audio_features(df: DataFrame, id_col: str, bytes_col: str, fmt_col: str) -> 
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for i, b, fmt in zip(pdf["id"], pdf["b"], pdf["fmt"]):
-                try:
-                    dec = AUDIO_DECODERS.get(fmt)
-                    if dec is None:
-                        raise codecs.CodecError(f"unknown audio fmt {fmt!r}")
-                    x, rate = dec(b)
-                    zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
-                    out.append(
-                        dict(
-                            id=i, ok=True, err=None, n_samples=len(x), rate=rate,
-                            duration_s=len(x) / rate,
-                            rms=float(np.sqrt(np.mean(x**2))) if len(x) else 0.0,
-                            peak=float(np.abs(x).max()) if len(x) else 0.0,
-                            zcr=zc,
-                        )
-                    )
-                except (codecs.CodecError, NotImplementedError, Exception) as e:  # noqa: BLE001
-                    out.append(
-                        dict(id=i, ok=False, err=str(e)[:200], n_samples=None,
-                             rate=None, duration_s=None, rms=None, peak=None, zcr=None)
-                    )
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                [
+                    audio_feature_row(i, b, fmt)
+                    for i, b, fmt in zip(pdf["id"], pdf["b"], pdf["fmt"])
+                ]
+            )
 
     return cols.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def audio_feature_row(i: str, b: bytes | None, fmt: str) -> dict:
+    """Pure per-clip kernel shared by the distributed mapInPandas pass
+    and the driver-gate oracle's serial literal replay (same contract
+    as ``image_feature_row``)."""
+    try:
+        dec = AUDIO_DECODERS.get(fmt)
+        if dec is None:
+            raise codecs.CodecError(f"unknown audio fmt {fmt!r}")
+        x, rate = dec(b)
+        zc = (
+            float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+            if len(x) > 1
+            else 0.0
+        )
+        return dict(
+            id=i, ok=True, err=None, n_samples=len(x), rate=rate,
+            duration_s=len(x) / rate,
+            rms=float(np.sqrt(np.mean(x**2))) if len(x) else 0.0,
+            peak=float(np.abs(x).max()) if len(x) else 0.0,
+            zcr=zc,
+        )
+    except (codecs.CodecError, NotImplementedError, Exception) as e:  # noqa: BLE001
+        return dict(id=i, ok=False, err=str(e)[:200], n_samples=None,
+                    rate=None, duration_s=None, rms=None, peak=None, zcr=None)
 
 
 # ---------------------------------------------------------------------------
@@ -350,25 +359,32 @@ def video_frame_sample(
         for pdf in batches:
             out = []
             for i, b, fmt in zip(pdf["id"], pdf["b"], pdf["fmt"]):
-                try:
-                    dec = VIDEO_DECODERS.get(fmt)
-                    if dec is None:
-                        raise codecs.CodecError(f"unknown video fmt {fmt!r}")
-                    frames = dec(b)
-                    for fi in range(0, len(frames), every):
-                        fr = frames[fi]
-                        out.append(
-                            dict(
-                                id=i, ok=True, err=None, n_frames=len(frames),
-                                frame_idx=fi, frame_bytes=codecs.encode(fr, out_fmt),
-                                w=fr.shape[1], h=fr.shape[0],
-                            )
-                        )
-                except (codecs.CodecError, NotImplementedError, Exception) as e:  # noqa: BLE001
-                    out.append(
-                        dict(id=i, ok=False, err=str(e)[:200], n_frames=None,
-                             frame_idx=None, frame_bytes=None, w=None, h=None)
-                    )
+                out.extend(video_frame_rows(i, b, fmt, every, out_fmt))
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def video_frame_rows(
+    i: str, b: bytes | None, fmt: str, every: int = 2, out_fmt: str = "ppm"
+) -> list[dict]:
+    """Pure per-clip 1→N frame-sampling kernel shared by the
+    mapInPandas pass and the driver-gate oracle's serial replay."""
+    try:
+        dec = VIDEO_DECODERS.get(fmt)
+        if dec is None:
+            raise codecs.CodecError(f"unknown video fmt {fmt!r}")
+        frames = dec(b)
+        return [
+            dict(
+                id=i, ok=True, err=None, n_frames=len(frames), frame_idx=fi,
+                frame_bytes=codecs.encode(frames[fi], out_fmt),
+                w=frames[fi].shape[1], h=frames[fi].shape[0],
+            )
+            for fi in range(0, len(frames), every)
+        ]
+    except (codecs.CodecError, NotImplementedError, Exception) as e:  # noqa: BLE001
+        return [
+            dict(id=i, ok=False, err=str(e)[:200], n_frames=None,
+                 frame_idx=None, frame_bytes=None, w=None, h=None)
+        ]

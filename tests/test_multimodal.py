@@ -143,3 +143,44 @@ def test_resize_box_exact_average():
     assert small.shape == (2, 2, 3)
     want = img.reshape(2, 2, 2, 2, 3).mean(axis=(1, 3)).round().astype(np.uint8)
     np.testing.assert_array_equal(small, want)
+
+
+def test_clip_table_determinism_and_defect_branches(spark):
+    """sources/clips.py: rows are pure in (seed, i); the planted
+    residue-class defects reach every kernel error branch; the
+    distributed generator agrees with the serial make_clip_row."""
+    from anomaly_detection_toolkit_spark.sources import clips
+
+    # serial purity: same (seed, i) → byte-identical payloads
+    r1, r2 = clips.make_clip_row(12, seed=7), clips.make_clip_row(12, seed=7)
+    assert r1["abytes"] == r2["abytes"] and r1["vbytes"] == r2["vbytes"]
+    assert clips.make_clip_row(12, seed=8)["abytes"] != r1["abytes"]
+
+    df = clips.generate_clips(spark, 40, seed=7, spark_partitions=4)
+    got = {r.clip_id: r for r in df.collect()}
+    assert len(got) == 40
+    # clean wav / truncated / mp3 stub / NULL payload / fake_pcm16
+    for i in (0, 5, 7, 9, 33):
+        want = clips.make_clip_row(i, seed=7)
+        row = got[want["clip_id"]]
+        assert row.abytes == want["abytes"] and row.afmt == want["afmt"]
+        assert row.vbytes == want["vbytes"] and row.vfmt == want["vfmt"]
+    assert got["clip_000009"].abytes is None  # i%23==9 → NULL payload
+
+    from anomaly_detection_toolkit_spark.operators import multimodal as mm
+
+    feats = {r.id: r for r in mm.audio_features(df, "clip_id", "abytes", "afmt").collect()}
+    assert not feats["clip_000005"].ok            # truncated wav
+    assert not feats["clip_000007"].ok            # mp3 stub
+    assert "external library" in feats["clip_000007"].err
+    assert not feats["clip_000009"].ok            # NULL payload
+    assert feats["clip_000003"].ok                # stereo wav mixdown
+    assert feats["clip_000000"].ok and feats["clip_000000"].rate == 8000
+
+    frames = mm.video_frame_sample(df, "clip_id", "vbytes", "vfmt", every=2)
+    vrows = frames.collect()
+    bad = {r.id for r in vrows if not r.ok}
+    assert "clip_000004" in bad                   # corrupt magic
+    assert "clip_000011" in bad                   # mp4 stub
+    # 1→N fan-out: i%4 == 3 → 4 frames → 2 sampled rows
+    assert sum(1 for r in vrows if r.id == "clip_000003") == 2
