@@ -63,6 +63,13 @@ def get_spark(
         # Image payload batches can be MBs per row group; keep Arrow
         # batches bounded so the Python decode workers stay small.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Same bound for the SQL in-memory cache: the 10k-row default
+        # batch over ~35KB binary payloads builds ~350MB byte arrays
+        # per concurrently-caching task — G1 humongous allocations
+        # that intermittently OOM'd a 24g heap while persisting the
+        # 100k-image bench table. 2048-row batches keep cache-build
+        # memory per task in the tens of MB for payload tables.
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "2048")
         # see _default_driver_mem for the measured 24g cap rationale;
         # submit conf / the env var overrides either way.
         .config(
