@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -120,6 +121,32 @@ def main() -> None:
     timings["salted_dedup_skewed_2m"] = round(time.perf_counter() - t0, 3)
 
     from anomaly_detection_toolkit_spark import entry_queries
+
+    # untimed warm-up so per-query numbers measure steady state, not
+    # one-time session init: the first mapInPandas pays ~10s of Python
+    # worker spin-up and the first streaming query ~8s of state-store
+    # machinery init (measured: streaming_drift 13.3s cold / 4.6s warm
+    # in one JVM) — costs that belong to the session, not to whichever
+    # query alphabetically happens to run first
+    _noop_write(
+        spark.range(0, 256, 1, cpus).mapInPandas(
+            lambda bs: (pdf for pdf in bs), schema="id long"
+        )
+    )
+    _warm = tempfile.mkdtemp(prefix="adt_warm_")
+    _src = os.path.join(_warm, "in")
+    os.makedirs(_src)
+    with open(os.path.join(_src, "w.json"), "w") as f:
+        f.write('{"v": 1.0}\n')
+    (
+        spark.readStream.schema("v double")
+        .json(_src)
+        .writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(_warm, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
 
     for name, fn in sorted(entry_queries.QUERIES.items()):
         t0 = time.perf_counter()
