@@ -29,9 +29,31 @@ from anomaly_detection_toolkit_spark.session import get_spark  # noqa: E402
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True, help="image+caption parquet table")
+    ap.add_argument(
+        "--input",
+        required=True,
+        help="image+caption table: a parquet path, or an Iceberg table "
+        "name (catalog.db.table) with --format iceberg",
+    )
     ap.add_argument("--output", required=True, help="output dir (verdicts/violations/metrics + ledger)")
     ap.add_argument("--part-col", default="part")
+    ap.add_argument(
+        "--format",
+        choices=("parquet", "iceberg"),
+        default="parquet",
+        help="iceberg pins reads to a snapshot id and plans incremental "
+        "re-validation from the snapshot log (requires the Iceberg "
+        "Spark runtime jar on the cluster); parquet uses the manifest "
+        "fallback (file-listing snapshot hash + --incremental "
+        "fingerprints)",
+    )
+    ap.add_argument(
+        "--snapshot-id",
+        type=int,
+        default=None,
+        help="iceberg only: validate this snapshot instead of the "
+        "current one (read-consistency pin for resumed runs)",
+    )
     ap.add_argument(
         "--incremental",
         action="store_true",
@@ -48,13 +70,26 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("adt-validate", master=args.master)
     t0 = time.perf_counter()
-    result = run_validation_job(
-        spark,
-        args.input,
-        args.output,
-        part_col=args.part_col,
-        incremental=args.incremental,
-    )
+    if args.format == "iceberg":
+        from anomaly_detection_toolkit_spark.sources.iceberg import (
+            run_validation_job_iceberg,
+        )
+
+        result = run_validation_job_iceberg(
+            spark,
+            args.input,
+            args.output,
+            part_col=args.part_col,
+            snapshot_id=args.snapshot_id,
+        )
+    else:
+        result = run_validation_job(
+            spark,
+            args.input,
+            args.output,
+            part_col=args.part_col,
+            incremental=args.incremental,
+        )
     dt = time.perf_counter() - t0
     if result is None:
         print(f"nothing to do: snapshot already fully validated ({dt:.1f}s)")
