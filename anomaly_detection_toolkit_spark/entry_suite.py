@@ -430,3 +430,123 @@ def suite_grid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     result = run_suite(fact, checks)
     return result.verdicts.orderBy("part", "check")
+
+
+# ---------------------------------------------------------------------------
+# Drift primitives in distribution space, hash-gated end to end: the
+# north star names FOUR drift scorers (rolling z-score, IQR fences,
+# PCA-recon-error, KS); this pair verifies the z-score and IQR-fence
+# primitives (plus KS) on the same DuckDB-replicable fact as
+# suite_grid_documents. Cross-engine exactness: proportions are
+# quantized to scaled integers (quantize=6) BEFORE moments/quartiles,
+# so every aggregate is exact integer arithmetic in double carriers —
+# order-independent and bit-identical on both engines; outputs are
+# floor(x*1e4+0.5) integers (no round() half-way hazard at all). PSI
+# is deliberately NOT gated: ln() is not correctly-rounded across
+# libm implementations. (PCA-recon drift is covered by PCADriftCheck
+# + numpy goldens in tests/test_drift_primitives.py — its
+# eigendecomposition is not reasonably SQL.)
+# ---------------------------------------------------------------------------
+
+_DRIFT_PRIM_SQL = r"""
+    WITH fact AS (
+      SELECT CASE WHEN lang = 'en' THEN 0
+                  ELSE CAST(doc_id % 3 AS INTEGER) + 1 END AS part,
+             CASE lang WHEN 'en' THEN 0 WHEN 'fr' THEN 1 WHEN 'es' THEN 2
+                       WHEN 'de' THEN 3 ELSE 4 END AS lang_code,
+             least(n_chars // 50, 10) AS len_b,
+             CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) % 8 AS hash_b
+      FROM documents
+    ),
+    db AS (
+      SELECT part, 'lang_code' AS col, CAST(lang_code AS DOUBLE) AS bucket FROM fact
+      UNION ALL SELECT part, 'len_b', CAST(len_b AS DOUBLE) FROM fact
+      UNION ALL SELECT part, 'hash_b', CAST(hash_b AS DOUBLE) FROM fact
+    ),
+    cnt AS (SELECT col, part, bucket, count(*) AS c FROM db GROUP BY 1, 2, 3),
+    pgrid AS (
+      SELECT p.col, p.part, b.bucket, coalesce(c.c, 0) AS c
+      FROM (SELECT DISTINCT col, part FROM cnt) p
+      JOIN (SELECT DISTINCT col, bucket FROM cnt) b USING (col)
+      LEFT JOIN cnt c ON c.col = p.col AND c.part = p.part AND c.bucket = b.bucket
+    ),
+    en AS (
+      SELECT col, part, bucket,
+             CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY col, part) AS p,
+             CAST(sum(c) OVER (PARTITION BY col, bucket) AS DOUBLE)
+               / sum(c) OVER (PARTITION BY col) AS q
+      FROM pgrid
+    ),
+    ks AS (
+      SELECT col, part, max(abs(cdf_p - cdf_q)) AS ks FROM (
+        SELECT col, part,
+               sum(p) OVER (PARTITION BY col, part ORDER BY bucket) AS cdf_p,
+               sum(q) OVER (PARTITION BY col, part ORDER BY bucket) AS cdf_q
+        FROM en
+      ) GROUP BY col, part
+    ),
+    pv AS (SELECT col, part, bucket, floor(p * 1e6 + 0.5) AS pv FROM en),
+    st AS (
+      SELECT col, bucket,
+             avg(pv) AS mu, avg(pv * pv) AS msq,
+             quantile_cont(pv, 0.25) AS q1, quantile_cont(pv, 0.75) AS q3
+      FROM pv GROUP BY col, bucket
+    ),
+    z AS (
+      SELECT pv.col, pv.part,
+             abs(pv.pv - st.mu)
+               / (CASE WHEN sqrt(greatest(st.msq - st.mu * st.mu, 0)) > 0
+                       THEN sqrt(greatest(st.msq - st.mu * st.mu, 0))
+                       ELSE 1 END) AS az,
+             CAST(pv.pv < st.q1 - 1.5 * (st.q3 - st.q1)
+                  OR pv.pv > st.q3 + 1.5 * (st.q3 - st.q1) AS INTEGER) AS br
+      FROM pv JOIN st ON pv.col = st.col AND pv.bucket = st.bucket
+    ),
+    agg AS (
+      SELECT col, part, max(az) AS zmax, sum(br) AS breaches
+      FROM z GROUP BY col, part
+    )
+    SELECT agg.col AS "column",
+           CAST(agg.part AS INTEGER) AS part,
+           CAST(floor(ks.ks * 1e4 + 0.5) AS BIGINT) AS ks_e4,
+           CAST(floor(agg.zmax * 1e4 + 0.5) AS BIGINT) AS zmax_e4,
+           CAST(agg.breaches AS BIGINT) AS iqr_breaches,
+           CAST(agg.zmax > 1.72 AS INTEGER) AS z_flag,
+           CAST(agg.breaches > 0 AS INTEGER) AS iqr_flag
+    FROM agg JOIN ks ON agg.col = ks.col AND agg.part = ks.part
+"""
+
+
+@register("drift_primitives_documents", _DRIFT_PRIM_SQL)
+def drift_primitives_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DriftCheck with the toolkit primitives enabled (z-score + IQR
+    fences on quantized cross-partition bucket proportions) over the
+    suite-grid fact: part 0 is all-English by construction, so its
+    lang_code histogram is the planted outlier the primitives flag."""
+    from anomaly_detection_toolkit_spark.plans.checks import DriftCheck
+
+    fact = _suite_grid_fact(spark, sf_dir)
+    chk = DriftCheck(
+        columns={
+            "lang_code": F.col("lang_code").cast("double"),
+            "len_b": F.col("len_b").cast("double"),
+            "hash_b": F.col("hash_b").cast("double"),
+        },
+        part_col="part",
+        # with 4 partitions max |z| is sqrt(3)=1.732 (population
+        # std over n=4); 1.72 lets only the planted all-English
+        # partition trip the z gate
+        z_threshold=1.72,
+        iqr_k=1.5,
+        quantize=6,
+    )
+    out = chk.scores(fact)
+    return out.select(
+        "column",
+        F.col("part").cast("int").alias("part"),
+        F.floor(F.col("ks") * 1e4 + F.lit(0.5)).cast("bigint").alias("ks_e4"),
+        F.floor(F.col("zmax") * 1e4 + F.lit(0.5)).cast("bigint").alias("zmax_e4"),
+        F.col("iqr_breaches").cast("bigint").alias("iqr_breaches"),
+        (F.col("zmax") > 1.72).cast("int").alias("z_flag"),
+        (F.col("iqr_breaches") > 0).cast("int").alias("iqr_flag"),
+    )

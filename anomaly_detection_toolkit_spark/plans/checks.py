@@ -521,7 +521,19 @@ class DriftCheck(Check):
     - PSI = Σ (p - q)·ln(p/q) with ε-clamped proportions — reported
       as a metric; only used for flagging when ``psi_threshold`` is
       set (PSI over-fires on buckets absent from one side, so KS is
-      the default gate).
+      the default gate);
+    - opt-in TOOLKIT PRIMITIVES applied in distribution space (the
+      north star names rolling z-score and IQR fences as drift
+      scorers): per bucket, the cross-partition distribution of
+      proportions is scored with the z-score convention of
+      ``ZScoreDetector`` (stddev_pop, σ=0→1; ``statistical.py:23-29``)
+      and the 1.5·IQR fences of ``IQROutlierDetector`` — a partition
+      whose proportion in ANY bucket is an outlier among partitions
+      is drift-flagged even when its overall CDF gap stays small
+      (localized drift KS underweights). Enabled via ``z_threshold``
+      / ``iqr_k``; ``quantize`` (decimal places) scores proportions
+      as scaled integers so results are bit-stable across engines
+      and summation orders (the cross-engine-oracle knob).
 
     A partition breaching a threshold yields one violation per
     (part, column). These are the toolkit's anomaly primitives
@@ -537,11 +549,21 @@ class DriftCheck(Check):
         ks_threshold: float = 0.15,
         psi_threshold: float | None = None,
         part_col: str = "part",
+        z_threshold: float | None = None,
+        iqr_k: float | None = None,
+        quantize: int | None = None,
     ):
         self.columns = columns
         self.ks_threshold = ks_threshold
         self.psi_threshold = psi_threshold
         self.part_col = part_col
+        self.z_threshold = z_threshold
+        self.iqr_k = iqr_k
+        self.quantize = quantize
+
+    @property
+    def _primitives(self) -> bool:
+        return self.z_threshold is not None or self.iqr_k is not None
 
     def default_columns(self) -> dict[str, Column]:
         return {
@@ -600,7 +622,7 @@ class DriftCheck(Check):
             .withColumn("cdf_p", F.sum("p").over(ordered))
             .withColumn("cdf_q", F.sum("q").over(ordered))
         )
-        return enriched.groupBy("column", "part").agg(
+        base = enriched.groupBy("column", "part").agg(
             F.max(F.abs(F.col("cdf_p") - F.col("cdf_q"))).alias("ks"),
             F.sum(
                 (F.col("p") - F.col("q"))
@@ -610,6 +632,67 @@ class DriftCheck(Check):
                 )
             ).alias("psi"),
         )
+        if not self._primitives:
+            return base
+        # Toolkit primitives in distribution space: score each
+        # partition's per-bucket proportion against the CROSS-PARTITION
+        # distribution of that bucket's proportions. `pv` is the scored
+        # value — quantized to an exact scaled integer when `quantize`
+        # is set, making moments/quartiles bit-stable across engines
+        # and summation orders (integer sums commute exactly).
+        if self.quantize is not None:
+            scale = float(10 ** int(self.quantize))
+            pv = F.floor(F.col("p") * F.lit(scale) + F.lit(0.5))
+        else:
+            pv = F.col("p")
+        cells = enriched.select("column", "part", "bucket", pv.alias("pv"))
+        # per (column, bucket) moments + quartiles across partitions:
+        # a (cols × buckets)-row table — broadcast back to the cells.
+        # Variance via E[x²]−E[x]² (exact on quantized integers ≤1e6:
+        # pv² ≤ 1e12 « 2^53); z uses the ZScoreDetector convention
+        # (population σ, σ=0→divide by 1); fences are
+        # IQROutlierDetector's q1−k·IQR / q3+k·IQR.
+        stats = cells.groupBy("column", "bucket").agg(
+            F.avg("pv").alias("mu"),
+            F.avg(F.col("pv") * F.col("pv")).alias("msq"),
+            F.percentile(F.col("pv"), F.lit(0.25)).alias("q1"),
+            F.percentile(F.col("pv"), F.lit(0.75)).alias("q3"),
+        )
+        k = F.lit(float(self.iqr_k) if self.iqr_k is not None else 1.5)
+        iqr = F.col("q3") - F.col("q1")
+        scored = (
+            cells.join(F.broadcast(stats), ["column", "bucket"])
+            .withColumn(
+                "sd",
+                F.sqrt(
+                    F.greatest(
+                        F.col("msq") - F.col("mu") * F.col("mu"), F.lit(0.0)
+                    )
+                ),
+            )
+            .withColumn(
+                "z",
+                (F.col("pv") - F.col("mu"))
+                / F.when(F.col("sd") > 0, F.col("sd")).otherwise(F.lit(1.0)),
+            )
+            .withColumn(
+                "breach",
+                (F.col("pv") < F.col("q1") - k * iqr)
+                | (F.col("pv") > F.col("q3") + k * iqr),
+            )
+        )
+        prim = scored.groupBy("column", "part").agg(
+            F.max(F.abs(F.col("z"))).alias("zmax"),
+            F.sum(F.col("breach").cast("long")).alias("iqr_breaches"),
+        )
+        return base.join(prim, ["column", "part"])
+
+    def scores(self, df: DataFrame) -> DataFrame:
+        """Public drift-score table: one row per (column, part) with
+        ``ks``/``psi`` and, when primitives are enabled, ``zmax``/
+        ``iqr_breaches``. Holds a persisted histogram the caller can
+        release via ``self._last_counts.unpersist()``."""
+        return self._drift_table(df, self.columns or self.default_columns())
 
     def run(self, df: DataFrame) -> CheckOutput:
         cols = self.columns or self.default_columns()
@@ -633,22 +716,162 @@ class DriftCheck(Check):
                 "distribution drift vs global baseline",
             )
         )
-        metrics = drift.select(
-            F.lit(self.name).alias("check"),
-            F.col("part").cast("int"),
-            F.concat(F.col("column"), F.lit(".ks")).alias("metric"),
-            F.col("ks").cast("double").alias("value"),
-        ).unionByName(
+        if self.z_threshold is not None:
+            violations = violations.unionByName(
+                drift.filter(F.col("zmax") > self.z_threshold).select(
+                    *_v(
+                        self.name,
+                        "warning",
+                        F.col("column"),
+                        None,
+                        F.col("part"),
+                        F.round(F.col("zmax"), 4),
+                        f"zmax<={self.z_threshold}",
+                        "bucket-proportion z-score drift vs other partitions",
+                    )
+                )
+            )
+        if self.iqr_k is not None:
+            violations = violations.unionByName(
+                drift.filter(F.col("iqr_breaches") > 0).select(
+                    *_v(
+                        self.name,
+                        "warning",
+                        F.col("column"),
+                        None,
+                        F.col("part"),
+                        F.col("iqr_breaches").cast("double"),
+                        f"iqr_k={self.iqr_k}",
+                        "bucket proportion outside cross-partition IQR fences",
+                    )
+                )
+            )
+        metric_cols = [("ks", "ks"), ("psi", "psi")]
+        if self._primitives:
+            metric_cols += [("zmax", "zmax"), ("iqr_breaches", "iqr_breaches")]
+        parts_m = [
             drift.select(
                 F.lit(self.name).alias("check"),
                 F.col("part").cast("int"),
-                F.concat(F.col("column"), F.lit(".psi")).alias("metric"),
-                F.col("psi").cast("double").alias("value"),
+                F.concat(F.col("column"), F.lit(f".{suffix}")).alias("metric"),
+                F.col(src).cast("double").alias("value"),
             )
-        )
+            for src, suffix in metric_cols
+        ]
+        metrics = parts_m[0]
+        for m in parts_m[1:]:
+            metrics = metrics.unionByName(m)
         return CheckOutput(
             violations, metrics, cached=(drift, self._last_counts)
         )
+
+
+class PCADriftCheck(Check):
+    """PCA-reconstruction-error drift — the fourth primitive the north
+    star names (rolling z-score, IQR fences, PCA-recon-error, KS).
+
+    Treats each partition's bucket histogram (proportion vector over
+    the shared bucket domain) as ONE observation and fits the
+    toolkit's ``PCADetector`` (``operators/pca.py``) over
+    partitions-as-rows: a partition whose histogram SHAPE cannot be
+    reconstructed from the dominant cross-partition components is
+    drift-flagged. This catches joint changes (the histogram tilting
+    along a correlated direction) that per-bucket marginal tests
+    (z/IQR) and the per-column CDF gap (KS) underweight.
+
+    Scale: the only big-data pass is the same single
+    ``groupBy(part, bucket)`` histogram as ``DriftCheck``; the fitted
+    table is one row per partition × |bucket domain| columns (domain
+    capped at ``max_buckets``), so the PCA suff-stats pass runs over a
+    tiny table — through the SAME distributed operator used for
+    row-space detection, not a special case.
+    """
+
+    name = "drift_pca"
+
+    def __init__(
+        self,
+        column: str,
+        bucket: Column,
+        n_components: float | int = 0.95,
+        contamination: float = 0.05,
+        part_col: str = "part",
+        max_buckets: int = 256,
+    ):
+        self.column = column
+        self.bucket = bucket
+        self.n_components = n_components
+        self.contamination = contamination
+        self.part_col = part_col
+        self.max_buckets = max_buckets
+
+    def run(self, df: DataFrame) -> CheckOutput:
+        from anomaly_detection_toolkit_spark.operators.base import (
+            SCORE_COL,
+            VERDICT_COL,
+        )
+        from anomaly_detection_toolkit_spark.operators.pca import PCADetector
+
+        counts = (
+            df.select(
+                F.col(self.part_col).alias("part"), self.bucket.alias("bucket")
+            )
+            .filter(F.col("bucket").isNotNull())
+            .groupBy("part", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .persist()
+        )
+        domain = sorted(r[0] for r in counts.select("bucket").distinct().collect())
+        if len(domain) > self.max_buckets:
+            raise ValueError(
+                f"bucket domain {len(domain)} exceeds max_buckets="
+                f"{self.max_buckets}; coarsen the bucket expression"
+            )
+        # pivot to a dense (part × domain) proportion matrix: absent
+        # cells are true zeros. One tiny shuffle over the histogram.
+        tot = Window.partitionBy("part")
+        p = F.col("c") / F.sum("c").over(tot)
+        cols = [f"b{i}" for i in range(len(domain))]
+        wide = (
+            counts.withColumn("p", p)
+            .groupBy("part")
+            .agg(
+                *[
+                    F.coalesce(
+                        F.max(F.when(F.col("bucket") == F.lit(b), F.col("p"))),
+                        F.lit(0.0),
+                    ).alias(c)
+                    for b, c in zip(domain, cols)
+                ]
+            )
+        )
+        det = PCADetector(
+            n_components=self.n_components,
+            score_method="reconstruction",
+            contamination=self.contamination,
+        ).fit(wide, cols)
+        scored = det.transform(wide).select("part", SCORE_COL, VERDICT_COL)
+        violations = scored.filter(F.col(VERDICT_COL) == -1).select(
+            *_v(
+                self.name,
+                "warning",
+                self.column,
+                None,
+                F.col("part"),
+                F.round(F.col(SCORE_COL), 4),
+                f"recon<=p{100 * (1 - self.contamination):g}"
+                f"={round(float(det.threshold_), 6)}",
+                "partition histogram shape unreconstructable from "
+                "cross-partition principal components",
+            )
+        )
+        metrics = scored.select(
+            F.lit(self.name).alias("check"),
+            F.col("part").cast("int"),
+            F.lit(f"{self.column}.pca_recon").alias("metric"),
+            F.col(SCORE_COL).cast("double").alias("value"),
+        )
+        return CheckOutput(violations, metrics, cached=(counts,))
 
 
 def default_suite() -> list[Check]:

@@ -1,0 +1,140 @@
+"""Drift primitives in distribution space (north-star scorers):
+z-score + IQR fences on cross-partition bucket proportions
+(DriftCheck z_threshold/iqr_k/quantize) and PCA-reconstruction-error
+over partitions-as-histogram-rows (PCADriftCheck) — all against numpy
+goldens on a planted-drift table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_toolkit_spark.plans.checks import DriftCheck, PCADriftCheck
+
+N_PARTS, N_BUCKETS, ROWS_PER_PART = 6, 8, 400
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """6 partitions × 400 rows; bucket = id % 8 (near-uniform) except
+    partition 5 where buckets 0-1 absorb most of the mass (drift)."""
+    df = spark.range(N_PARTS * ROWS_PER_PART).select(
+        (F.col("id") % N_PARTS).cast("int").alias("part"),
+        F.when(
+            (F.col("id") % N_PARTS == N_PARTS - 1) & (F.col("id") % 7 < 5),
+            (F.col("id") % 2).cast("double"),
+        )
+        .otherwise((F.col("id") % N_BUCKETS).cast("double"))
+        .alias("bucket_val"),
+    )
+    return df.persist()
+
+
+def proportions(pdf) -> np.ndarray:
+    """(parts × buckets) proportion matrix from collected rows."""
+    mat = np.zeros((N_PARTS, N_BUCKETS))
+    for r in pdf:
+        mat[int(r["part"]), int(r["bucket_val"])] += 1
+    return mat / mat.sum(axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def pmat(planted) -> np.ndarray:
+    return proportions(planted.collect())
+
+
+def drift_table(planted, **kw):
+    chk = DriftCheck(columns={"b": F.col("bucket_val")}, part_col="part", **kw)
+    out = chk._drift_table(planted, {"b": F.col("bucket_val")})
+    rows = {int(r["part"]): r for r in out.collect()}
+    chk._last_counts.unpersist()
+    return rows
+
+
+def test_zscore_matches_numpy(planted, pmat):
+    rows = drift_table(planted, z_threshold=2.0)
+    mu = pmat.mean(axis=0)
+    sd = pmat.std(axis=0)  # population, matching ZScoreDetector
+    sd_safe = np.where(sd > 0, sd, 1.0)
+    zmax = np.abs((pmat - mu) / sd_safe).max(axis=1)
+    for part in range(N_PARTS):
+        assert rows[part]["zmax"] == pytest.approx(zmax[part], rel=1e-9)
+    # the planted partition is the most anomalous
+    assert max(range(N_PARTS), key=lambda p: rows[p]["zmax"]) == N_PARTS - 1
+
+
+def test_iqr_breaches_match_numpy(planted, pmat):
+    rows = drift_table(planted, iqr_k=1.5)
+    q1 = np.percentile(pmat, 25, axis=0)  # numpy linear == Spark percentile
+    q3 = np.percentile(pmat, 75, axis=0)
+    iqr = q3 - q1
+    breach = (pmat < q1 - 1.5 * iqr) | (pmat > q3 + 1.5 * iqr)
+    for part in range(N_PARTS):
+        assert rows[part]["iqr_breaches"] == int(breach[part].sum())
+    assert breach[N_PARTS - 1].sum() > 0  # planted drift is fenced out
+
+
+def test_quantized_scores_are_scaled_integers(planted, pmat):
+    rows = drift_table(planted, z_threshold=2.0, iqr_k=1.5, quantize=6)
+    pq = np.floor(pmat * 1e6 + 0.5)
+    mu, sd = pq.mean(axis=0), pq.std(axis=0)
+    zmax = np.abs((pq - mu) / np.where(sd > 0, sd, 1.0)).max(axis=1)
+    for part in range(N_PARTS):
+        assert rows[part]["zmax"] == pytest.approx(zmax[part], rel=1e-9)
+
+
+def test_default_drift_table_has_no_primitive_columns(planted):
+    rows = drift_table(planted)
+    assert set(next(iter(rows.values())).asDict()) == {"column", "part", "ks", "psi"}
+
+
+def test_primitive_violations_flag_planted_part(planted):
+    chk = DriftCheck(
+        columns={"b": F.col("bucket_val")},
+        part_col="part",
+        ks_threshold=0.99,  # silence the KS gate; isolate the primitives
+        z_threshold=2.0,
+        iqr_k=1.5,
+    )
+    out = chk.run(planted)
+    v = out.violations.collect()
+    assert {r["part"] for r in v if "z-score" in r["message"]} == {N_PARTS - 1}
+    assert N_PARTS - 1 in {r["part"] for r in v if "IQR" in r["message"]}
+    metrics = {r["metric"] for r in out.metrics.collect()}
+    assert {"b.ks", "b.psi", "b.zmax", "b.iqr_breaches"} <= metrics
+    for d in out.cached:
+        d.unpersist()
+
+
+def test_pca_drift_flags_shape_outlier(planted, pmat):
+    chk = PCADriftCheck(
+        "b", F.col("bucket_val"), n_components=2, contamination=1 / N_PARTS
+    )
+    out = chk.run(planted)
+    flagged = {r["part"] for r in out.violations.collect()}
+    assert flagged == {N_PARTS - 1}
+    # golden: recon error through numpy PCA (pop-std scaler, top-2 PCs)
+    x = (pmat - pmat.mean(axis=0)) / np.where(
+        pmat.std(axis=0) > 0, pmat.std(axis=0), 1.0
+    )
+    cov = np.cov(x, rowvar=False, ddof=1)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, np.argsort(w)[::-1][:2]]
+    recon = ((x - x @ comps @ comps.T) ** 2).mean(axis=1)
+    got = {
+        int(r["part"]): r["value"]
+        for r in out.metrics.collect()
+        if r["metric"] == "b.pca_recon"
+    }
+    for part in range(N_PARTS):
+        assert got[part] == pytest.approx(recon[part], rel=1e-6)
+    for d in out.cached:
+        d.unpersist()
+
+
+def test_pca_drift_bucket_cap(planted):
+    chk = PCADriftCheck("b", F.col("bucket_val"), max_buckets=4)
+    with pytest.raises(ValueError, match="max_buckets"):
+        chk.run(planted)
