@@ -18,13 +18,22 @@ N_PARTS, N_BUCKETS, ROWS_PER_PART = 6, 8, 400
 
 @pytest.fixture(scope="module")
 def planted(spark):
-    """6 partitions × 400 rows; bucket = id % 8 (near-uniform) except
-    partition 5 where buckets 0-1 absorb most of the mass (drift)."""
+    """6 partitions × 400 rows with DISTINCT histograms: every part
+    over-weights bucket (part % 8) at a part-dependent rate (so the
+    proportion matrix has full row variety — a same-histograms fixture
+    makes PCA reconstruction vacuously 0 for everyone), and partition
+    5 additionally dumps most mass on buckets 0-1 (the planted
+    drift)."""
+    part = F.col("id") % N_PARTS
     df = spark.range(N_PARTS * ROWS_PER_PART).select(
-        (F.col("id") % N_PARTS).cast("int").alias("part"),
+        part.cast("int").alias("part"),
         F.when(
-            (F.col("id") % N_PARTS == N_PARTS - 1) & (F.col("id") % 7 < 5),
+            (part == N_PARTS - 1) & (F.col("id") % 7 < 5),
             (F.col("id") % 2).cast("double"),
+        )
+        .when(
+            F.col("id") % 29 == part,
+            (part % N_BUCKETS).cast("double"),
         )
         .otherwise((F.col("id") % N_BUCKETS).cast("double"))
         .alias("bucket_val"),
@@ -108,28 +117,58 @@ def test_primitive_violations_flag_planted_part(planted):
         d.unpersist()
 
 
-def test_pca_drift_flags_shape_outlier(planted, pmat):
+def pca_fixture_counts() -> np.ndarray:
+    """12 parts × 8 buckets of counts: parts 0-10 vary on a 2-plane
+    spanned by two orthogonal zero-sum sign patterns (what PCA should
+    learn as its principal subspace); part 11 deviates along a THIRD
+    orthogonal pattern — off-plane, so reconstruction error flags it
+    even though its marginal magnitude is modest. (A single gross
+    outlier would be the WRONG fixture: it owns PC1 and reconstructs
+    perfectly — recon error scores distance from the principal
+    subspace, not marginal extremity.)"""
+    s1 = np.array([1, -1, 1, -1, 1, -1, 1, -1])
+    s2 = np.array([1, 1, -1, -1, 1, 1, -1, -1])
+    s3 = np.array([1, -1, -1, 1, 1, -1, -1, 1])
+    coeffs = [(a, b) for a in (-1, 0, 1) for b in (-1, 0, 1)] + [(2, 1), (1, 2)]
+    rows = [50 + 10 * a * s1 + 6 * b * s2 for a, b in coeffs]
+    rows.append(50 + 0 * s1 + 0 * s2 + 8 * s3)
+    return np.array(rows)
+
+
+def test_pca_drift_flags_shape_outlier(spark):
+    counts = pca_fixture_counts()
+    n_parts = counts.shape[0]
+    data = [
+        (p, float(b))
+        for p in range(n_parts)
+        for b in range(counts.shape[1])
+        for _ in range(int(counts[p, b]))
+    ]
+    df = spark.createDataFrame(data, "part int, bucket_val double")
     chk = PCADriftCheck(
-        "b", F.col("bucket_val"), n_components=2, contamination=1 / N_PARTS
+        "b", F.col("bucket_val"), n_components=2, contamination=1 / n_parts
     )
-    out = chk.run(planted)
+    out = chk.run(df)
     flagged = {r["part"] for r in out.violations.collect()}
-    assert flagged == {N_PARTS - 1}
-    # golden: recon error through numpy PCA (pop-std scaler, top-2 PCs)
+    assert flagged == {n_parts - 1}
+    # golden: recon error through numpy PCA — pop-std scaler, top-2
+    # PCs, SUM of squared residuals (PCADetector's einsum form)
+    pmat = counts / counts.sum(axis=1, keepdims=True)
     x = (pmat - pmat.mean(axis=0)) / np.where(
         pmat.std(axis=0) > 0, pmat.std(axis=0), 1.0
     )
     cov = np.cov(x, rowvar=False, ddof=1)
     w, v = np.linalg.eigh(cov)
     comps = v[:, np.argsort(w)[::-1][:2]]
-    recon = ((x - x @ comps @ comps.T) ** 2).mean(axis=1)
+    recon = ((x - x @ comps @ comps.T) ** 2).sum(axis=1)
     got = {
         int(r["part"]): r["value"]
         for r in out.metrics.collect()
         if r["metric"] == "b.pca_recon"
     }
-    for part in range(N_PARTS):
-        assert got[part] == pytest.approx(recon[part], rel=1e-6)
+    assert recon[-1] > 1.0  # the off-plane part really is unreconstructable
+    for part in range(n_parts):
+        assert got[part] == pytest.approx(recon[part], rel=1e-6, abs=1e-9)
     for d in out.cached:
         d.unpersist()
 
