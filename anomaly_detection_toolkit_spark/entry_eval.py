@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from anomaly_detection_toolkit_spark.entry_queries import r4, register
+from anomaly_detection_toolkit_spark.entry_queries import r4, register, register_extra
 from anomaly_detection_toolkit_spark.operators import evaluation as ev
 from anomaly_detection_toolkit_spark.operators.ensemble import (
     EnsembleDetector,
@@ -166,7 +166,7 @@ def _scored_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("eval_classification_events", _CLS_SQL)
+@register_extra("eval_classification_events", _CLS_SQL)
 def eval_classification_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _scored_events(spark, sf_dir)
     m = ev.classification_metrics(scored, "verdict", "y_true")
@@ -207,12 +207,41 @@ _AUC_SQL = f"""
 """
 
 
-@register("eval_roc_auc_events", _AUC_SQL)
+@register_extra("eval_roc_auc_events", _AUC_SQL)
 def eval_roc_auc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _scored_events(spark, sf_dir)
     return ev.roc_auc(scored, "score", "y_true").select(
         r4(F.col("roc_auc")).alias("roc_auc")
     )
+
+
+# merged driver-gate pair (round 3): the reference's evaluate_detector
+# returns P/R/F1 + confusion counts + ROC-AUC together
+# (evaluation.py) — one 1-row result set, freeing a slot in the
+# driver's 50-query window for drift_pca_documents; the split pairs
+# stay locally hash-verified above via register_extra.
+_METRICS_SQL = f"""
+    SELECT c.*, a.roc_auc FROM ({_CLS_SQL}) c CROSS JOIN ({_AUC_SQL}) a
+"""
+
+
+@register("eval_metrics_events", _METRICS_SQL)
+def eval_metrics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _scored_events(spark, sf_dir)
+    m = ev.classification_metrics(scored, "verdict", "y_true").select(
+        r4(F.col("accuracy")).alias("accuracy"),
+        r4(F.col("precision")).alias("precision"),
+        r4(F.col("recall")).alias("recall"),
+        r4(F.col("f1")).alias("f1"),
+        "true_positives",
+        "true_negatives",
+        "false_positives",
+        "false_negatives",
+    )
+    auc = ev.roc_auc(scored, "score", "y_true").select(
+        r4(F.col("roc_auc")).alias("roc_auc")
+    )
+    return m.crossJoin(auc)  # 1-row × 1-row metric join
 
 
 # ---------------------------------------------------------------------------

@@ -550,3 +550,124 @@ def drift_primitives_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("zmax") > 1.72).cast("int").alias("z_flag"),
         (F.col("iqr_breaches") > 0).cast("int").alias("iqr_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The fourth north-star drift primitive — PCA reconstruction error over
+# partitions-as-histogram-rows — hash-gated END TO END: the DuckDB
+# oracle pivots the same 24×8 proportion matrix and diagonalizes its
+# correlation matrix with the proven unrolled cyclic-Jacobi CTE chain
+# (entry_pca._jacobi_ctes, the machinery behind
+# pca_partialrank_embeddings), then replays PCADetector's
+# variance-ratio component pick, residual sum of squares, and
+# quantile(0.95) verdict.
+# ---------------------------------------------------------------------------
+
+
+def _drift_pca_sql(d: int = 8, parts: int = 24, sweeps: int = 6) -> str:
+    from anomaly_detection_toolkit_spark.entry_pca import _jacobi_ctes
+
+    pivots = ", ".join(
+        f"sum(CASE WHEN b = {i} THEN c ELSE 0 END)"
+        f" / CAST(sum(c) AS DOUBLE) AS x{i}"
+        for i in range(d)
+    )
+    stats = ", ".join(
+        f"avg(x{i}) AS m{i}, stddev_pop(x{i}) AS s{i}" for i in range(d)
+    )
+    zcols = ", ".join(
+        f"(x{i} - m{i}) / (CASE WHEN s{i} = 0 THEN 1.0 ELSE s{i} END) AS z{i}"
+        for i in range(d)
+    )
+    corr_rows = " UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, avg(z{i} * z{j}) AS v FROM z"
+        for i in range(d)
+        for j in range(d)
+    )
+    ident = " UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, CAST({1 if i == j else 0} AS DOUBLE) AS v"
+        for i in range(d)
+        for j in range(d)
+    )
+    zu = " UNION ALL ".join(
+        f"SELECT id, {i} AS k, z{i} AS z FROM z" for i in range(d)
+    )
+    jac, a_last, v_last = _jacobi_ctes(d, sweeps)
+    return f"""
+    WITH fact AS (
+      SELECT CAST(doc_id % {parts} AS INTEGER) AS part,
+             CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) % {d} AS b
+      FROM documents
+    ),
+    cnt AS (SELECT part, b, count(*) AS c FROM fact GROUP BY 1, 2),
+    f AS MATERIALIZED (SELECT part AS id, {pivots} FROM cnt GROUP BY part),
+    s AS MATERIALIZED (SELECT count(*) AS n, {stats} FROM f),
+    z AS MATERIALIZED (SELECT id, {zcols} FROM f, s),
+    corr AS MATERIALIZED ({corr_rows}),
+    a0 AS MATERIALIZED (SELECT * FROM corr),
+    v0 AS MATERIALIZED ({ident}),{jac},
+    eig AS MATERIALIZED (
+      SELECT j AS comp, v AS lam,
+             row_number() OVER (ORDER BY v DESC, j) AS rk
+      FROM {a_last} WHERE i = j
+    ),
+    ksel AS (
+      SELECT least(CAST(count(*) AS INTEGER) + 1, {d}) AS k FROM (
+        SELECT rk, sum(lam) OVER (ORDER BY rk) / (SELECT sum(lam) FROM eig)
+          AS cum
+        FROM eig
+      ) WHERE cum <= 0.8
+    ),
+    zu AS MATERIALIZED ({zu}),
+    proj AS MATERIALIZED (
+      SELECT zu.id, e.rk, sum(zu.z * vf.v) AS p
+      FROM zu
+      JOIN {v_last} vf ON vf.i = zu.k
+      JOIN eig e ON e.comp = vf.j
+      GROUP BY zu.id, e.rk
+    ),
+    zz AS (SELECT id, sum(z * z) AS zz FROM zu GROUP BY id),
+    sc AS (
+      SELECT zz.id,
+             greatest(zz.zz - (SELECT sum(p.p * p.p) FROM proj p
+                               WHERE p.id = zz.id
+                                 AND p.rk <= (SELECT k FROM ksel)), 0.0)
+               AS score
+      FROM zz
+    ),
+    thr AS (SELECT quantile_cont(score, 0.95) AS tr FROM sc)
+    SELECT id AS part,
+           round(score, 4) AS score,
+           CAST(CASE WHEN score > tr THEN -1 ELSE 1 END AS INTEGER) AS verdict
+    FROM sc, thr
+    """
+
+
+@register("drift_pca_documents", _drift_pca_sql())
+def drift_pca_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCADriftCheck end to end over a 24-partition md5-bucket
+    histogram of the documents table: one groupBy histogram pass →
+    dense pivot → the real PCADetector (suff-stats + driver eigh) →
+    reconstruction score + percentile verdict per partition."""
+    from anomaly_detection_toolkit_spark.plans.checks import PCADriftCheck
+    from anomaly_detection_toolkit_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    h60 = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+    fact = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(24)).cast("int").alias("part"),
+        F.pmod(h60, F.lit(8)).cast("double").alias("b"),
+    )
+    chk = PCADriftCheck(
+        "hash_b",
+        F.col("b"),
+        n_components=0.8,
+        contamination=0.05,
+        part_col="part",
+    )
+    out = chk.scores(fact)
+    return out.select(
+        F.col("part").cast("int").alias("part"),
+        r4(F.col("score")).alias("score"),
+        F.col("verdict").cast("int").alias("verdict"),
+    )

@@ -805,7 +805,12 @@ class PCADriftCheck(Check):
         self.part_col = part_col
         self.max_buckets = max_buckets
 
-    def run(self, df: DataFrame) -> CheckOutput:
+    def scores(self, df: DataFrame) -> DataFrame:
+        """Public score table: (part, score, verdict) — reconstruction
+        error of each partition's histogram and the PCADetector
+        percentile verdict. Holds a persisted histogram the caller can
+        release via ``self._last_counts.unpersist()``; the fitted
+        threshold is kept on ``self._last_threshold``."""
         from anomaly_detection_toolkit_spark.operators.base import (
             SCORE_COL,
             VERDICT_COL,
@@ -850,7 +855,17 @@ class PCADriftCheck(Check):
             score_method="reconstruction",
             contamination=self.contamination,
         ).fit(wide, cols)
-        scored = det.transform(wide).select("part", SCORE_COL, VERDICT_COL)
+        self._last_counts = counts
+        self._last_threshold = float(det.threshold_)
+        return det.transform(wide).select("part", SCORE_COL, VERDICT_COL)
+
+    def run(self, df: DataFrame) -> CheckOutput:
+        from anomaly_detection_toolkit_spark.operators.base import (
+            SCORE_COL,
+            VERDICT_COL,
+        )
+
+        scored = self.scores(df)
         violations = scored.filter(F.col(VERDICT_COL) == -1).select(
             *_v(
                 self.name,
@@ -860,7 +875,7 @@ class PCADriftCheck(Check):
                 F.col("part"),
                 F.round(F.col(SCORE_COL), 4),
                 f"recon<=p{100 * (1 - self.contamination):g}"
-                f"={round(float(det.threshold_), 6)}",
+                f"={round(self._last_threshold, 6)}",
                 "partition histogram shape unreconstructable from "
                 "cross-partition principal components",
             )
@@ -871,7 +886,7 @@ class PCADriftCheck(Check):
             F.lit(f"{self.column}.pca_recon").alias("metric"),
             F.col(SCORE_COL).cast("double").alias("value"),
         )
-        return CheckOutput(violations, metrics, cached=(counts,))
+        return CheckOutput(violations, metrics, cached=(self._last_counts,))
 
 
 def default_suite() -> list[Check]:
@@ -901,3 +916,28 @@ def default_suite() -> list[Check]:
         DriftCheck(),
         PayloadCheck(),
     ]
+
+
+def extended_suite(
+    z_threshold: float = 3.0, iqr_k: float = 1.5, pca_components: float | int = 0.8
+) -> list[Check]:
+    """``default_suite`` with ALL FOUR north-star drift scorers armed:
+    KS (always on) plus z-score/IQR fences on cross-partition bucket
+    proportions inside ``DriftCheck``, and PCA reconstruction error
+    over partitions-as-histogram-rows (``PCADriftCheck`` on the
+    phash-mod-64 histogram). Kept separate from ``default_suite`` so
+    the benchmark baselines stay like-for-like; ``validate.py
+    --drift-primitives`` selects it."""
+    checks = default_suite()
+    for c in checks:
+        if isinstance(c, DriftCheck):
+            c.z_threshold = z_threshold
+            c.iqr_k = iqr_k
+    checks.append(
+        PCADriftCheck(
+            "phash",
+            F.pmod(F.col("phash"), F.lit(64)).cast("double"),
+            n_components=pca_components,
+        )
+    )
+    return checks

@@ -177,3 +177,21 @@ def test_pca_drift_bucket_cap(planted):
     chk = PCADriftCheck("b", F.col("bucket_val"), max_buckets=4)
     with pytest.raises(ValueError, match="max_buckets"):
         chk.run(planted)
+
+
+def test_extended_suite_runs_end_to_end(spark):
+    from anomaly_detection_toolkit_spark.plans.checks import extended_suite
+    from anomaly_detection_toolkit_spark.plans.runner import run_suite
+    from anomaly_detection_toolkit_spark.sources.images import generate_images
+
+    imgs = generate_images(spark, 800, seed=7, n_parts=4)
+    res = run_suite(imgs, extended_suite())
+    cells = res.verdicts.collect()
+    checks = {r["check"] for r in cells}
+    # all four drift scorers are armed: KS/z/IQR inside 'drift',
+    # reconstruction as its own 'drift_pca' check row per partition
+    assert {"drift", "drift_pca"} <= checks
+    assert sum(1 for r in cells if r["check"] == "drift_pca") == 4
+    metrics = {r["metric"] for r in res.metrics.collect()}
+    assert {"phash.zmax", "phash.iqr_breaches", "phash.pca_recon"} <= metrics
+    res.unpersist()

@@ -62,6 +62,13 @@ def main(argv: list[str] | None = None) -> int:
         "whole table — the append-mostly petabyte-table mode",
     )
     ap.add_argument(
+        "--drift-primitives",
+        action="store_true",
+        help="arm all four drift scorers (KS + cross-partition z-score "
+        "+ IQR fences + PCA reconstruction error on the phash "
+        "histogram) instead of the KS-only default suite",
+    )
+    ap.add_argument(
         "--master",
         default="inherit",
         help="'inherit' under spark-submit (default), or e.g. local[8]",
@@ -69,6 +76,11 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     spark = get_spark("adt-validate", master=args.master)
+    checks = None
+    if args.drift_primitives:
+        from anomaly_detection_toolkit_spark.plans.checks import extended_suite
+
+        checks = extended_suite()
     t0 = time.perf_counter()
     if args.format == "iceberg":
         from anomaly_detection_toolkit_spark.sources.iceberg import (
@@ -79,6 +91,7 @@ def main(argv: list[str] | None = None) -> int:
             spark,
             args.input,
             args.output,
+            checks=checks,
             part_col=args.part_col,
             snapshot_id=args.snapshot_id,
         )
@@ -87,6 +100,7 @@ def main(argv: list[str] | None = None) -> int:
             spark,
             args.input,
             args.output,
+            checks=checks,
             part_col=args.part_col,
             incremental=args.incremental,
         )
