@@ -82,42 +82,72 @@ def classification_metrics(
 def roc_auc(
     df: DataFrame, score_col: str = "score", label_col: str = "y_true"
 ) -> DataFrame:
-    """One row ``(roc_auc double)`` — rank-based Mann-Whitney AUC.
+    """One row ``(roc_auc double)`` — rank-based Mann-Whitney AUC,
+    exact under ties, with NO single-reducer global rank.
 
-    Average rank under ties = (rank_asc + (n + 1 − rank_desc)) / 2,
-    computed with two global window ranks. A global window sorts the
-    scores once (range-partitioned sort at scale, no single-reducer
-    rank since ``rank()`` over a sorted global window is computed by
-    Spark via a single ordered partition — for 10^12 rows callers
-    should pre-aggregate scores into quantile buckets; exactness at
-    test scale is what the oracle checks). One class present → 0.0.
+    The row-level average rank under ties only depends on per-score
+    aggregates: for a distinct score s with n_s rows and C(s) rows
+    strictly below it, every row at s has avg_rank = C(s)+(n_s+1)/2.
+    So the plan is a distributed two-phase scan (the classic parallel
+    prefix sum), never a whole-data ordered window:
+
+    1. ``groupBy(score)`` → (n_pos, n) per distinct score — ordinary
+       partial-aggregated shuffle;
+    2. ``repartitionByRange(score)`` the distinct-score table, cumsum
+       WITHIN each range partition (window partitioned by
+       ``spark_partition_id`` — parallel, range partitions are
+       disjoint and ordered);
+    3. per-partition totals (≤ shuffle.partitions rows) collect to the
+       driver, their running sum is each partition's offset, broadcast
+       back — C(s) = offset + within-partition cumsum − n_s.
+
+    rank_sum = Σ n_pos(s)·avg_rank(s). Rank sums are exact
+    half-integers in doubles (test-scale; at 10^12 rows the sum
+    saturates double precision identically in any formulation).
+    One class present → 0.0. Parity: ``evaluation.py:61-88``.
     """
     s = F.col(score_col).cast("double")
     t = _true_binary(F.col(label_col))
     base = df.select(t.alias("t"), s.alias("s"))
-    w_asc = Window.orderBy(F.col("s"))
-    w_desc = Window.orderBy(F.col("s").desc())
-    n_total = F.count(F.lit(1)).over(Window.partitionBy())
-    ranked = base.select(
-        "t",
-        ((F.rank().over(w_asc) + (n_total + 1 - F.rank().over(w_desc))) / 2.0).alias(
-            "avg_rank"
-        ),
+    g = base.groupBy("s").agg(
+        F.sum(F.col("t").cast("long")).alias("np"),
+        F.count(F.lit(1)).cast("long").alias("n"),
     )
-    agg = ranked.agg(
-        F.sum(F.when(F.col("t") == 1, F.col("avg_rank"))).alias("rank_sum"),
-        F.sum(F.col("t").cast("long")).alias("n_pos"),
-        F.sum((F.lit(1) - F.col("t")).cast("long")).alias("n_neg"),
+    part = g.repartitionByRange("s").withColumn("pid", F.spark_partition_id())
+    w = Window.partitionBy("pid").orderBy("s")
+    part = part.withColumn("cum_in", F.sum("n").over(w)).persist()
+    totals = sorted(
+        part.groupBy("pid").agg(F.sum("n").alias("tot")).collect(),
+        key=lambda r: r["pid"],
     )
-    return agg.select(
-        F.when(
-            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-            (F.col("rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
-            / (F.col("n_pos") * F.col("n_neg")),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("roc_auc")
+    offsets, acc = [], 0
+    for r in totals:
+        offsets.append((int(r["pid"]), acc))
+        acc += int(r["tot"])
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
+    ranked = part.join(F.broadcast(off_df), "pid").select(
+        "np",
+        "n",
+        (
+            F.col("off") + (F.col("cum_in") - F.col("n")) + (F.col("n") + 1) / 2.0
+        ).alias("avg_rank"),
     )
+    # materialize WHILE `part` is pinned: the offsets above were read
+    # from this exact range partitioning — an unpinned recompute could
+    # resample the range boundaries under the final aggregate and
+    # misalign the offsets. The result is one scalar; eager is free.
+    row = ranked.agg(
+        F.sum(F.col("np") * F.col("avg_rank")).alias("rank_sum"),
+        F.sum("np").alias("n_pos"),
+        F.sum(F.col("n") - F.col("np")).alias("n_neg"),
+    ).first()
+    part.unpersist(blocking=False)
+    auc = 0.0
+    if row["n_pos"] and row["n_neg"]:
+        n_pos, n_neg = int(row["n_pos"]), int(row["n_neg"])
+        auc = (float(row["rank_sum"]) - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    return spark.createDataFrame([(float(auc),)], "roc_auc double")
 
 
 def lead_time_metrics(
