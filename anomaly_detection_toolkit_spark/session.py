@@ -88,9 +88,19 @@ def get_spark(
         # heavy BINARY-column Arrow traffic (observed SIGSEGV in
         # jlong_disjoint_arraycopy_avx3 + progressive slowdown);
         # capping at AVX2 is the documented JVM workaround.
+        # GCLockerRetryAllocationCount: under concurrent JNI/Arrow
+        # critical sections G1's default of 2 retries let a transient
+        # GCLocker stall surface as a spurious allocation failure
+        # ("Retried waiting for GCLocker too often") that killed a
+        # bench run mid-stage; retrying longer is the documented
+        # mitigation (JDK-8192647) and costs nothing when unneeded.
         .config(
             "spark.driver.extraJavaOptions",
-            os.environ.get("ADT_SPARK_JVM_OPTS", "-XX:UseAVX=2"),
+            os.environ.get(
+                "ADT_SPARK_JVM_OPTS",
+                "-XX:UseAVX=2 -XX:+UnlockDiagnosticVMOptions"
+                " -XX:GCLockerRetryAllocationCount=32",
+            ),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
