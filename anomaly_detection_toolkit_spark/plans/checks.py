@@ -302,7 +302,14 @@ class UniquenessCheck(Check):
     def run(self, df: DataFrame) -> CheckOutput:
         key = self.key_col
         keys = df.groupBy(key).agg(F.count(F.lit(1)).alias("key_count"))
-        dup_keys = keys.filter(F.col("key_count") > 1)
+        # persist the dup-key dim table (tiny by construction — real
+        # duplicate keys only): violations and metrics materialize as
+        # separate runner jobs, and the full-cardinality key shuffle —
+        # the suite's biggest exchange — must run ONCE, not once per
+        # consumer. n_keys is derived by approx_count_distinct in the
+        # same narrow pass (mergeable HLL partials, NO key shuffle)
+        # instead of re-aggregating 10^12 keys exactly for a metric.
+        dup_keys = keys.filter(F.col("key_count") > 1).persist()
         violations = (
             df.select(key, self.entity_col, self.part_col)
             .join(dup_keys, key, "inner")
@@ -319,22 +326,21 @@ class UniquenessCheck(Check):
                 )
             )
         )
-        metrics = keys.agg(
-            F.count(F.lit(1)).alias("n_keys"),
-            F.sum(F.when(F.col("key_count") > 1, 1).otherwise(0)).alias("n_dup_keys"),
-            F.sum(F.when(F.col("key_count") > 1, F.col("key_count")).otherwise(0)).alias(
-                "n_dup_rows"
-            ),
-            F.max("key_count").alias("max_key_count"),
-        ).selectExpr(
-            f"stack(4, 'n_keys', cast(n_keys as double), "
+        dup_stats = dup_keys.agg(
+            F.count(F.lit(1)).alias("n_dup_keys"),
+            F.coalesce(F.sum("key_count"), F.lit(0)).alias("n_dup_rows"),
+            F.coalesce(F.max("key_count"), F.lit(1)).alias("max_key_count"),
+        )
+        approx = df.agg(F.approx_count_distinct(key).alias("n_keys_approx"))
+        metrics = dup_stats.crossJoin(approx).selectExpr(  # 1-row × 1-row
+            f"stack(4, 'n_keys_approx', cast(n_keys_approx as double), "
             f"'n_dup_keys', cast(n_dup_keys as double), "
             f"'n_dup_rows', cast(n_dup_rows as double), "
             f"'max_key_count', cast(max_key_count as double)) as (metric, value)"
         ).select(
             F.lit(self.name).alias("check"), F.lit(-1).alias("part"), "metric", "value"
         )
-        return CheckOutput(violations, metrics)
+        return CheckOutput(violations, metrics, cached=(dup_keys,))
 
 
 # ---------------------------------------------------------------------------
@@ -373,6 +379,9 @@ class ReferentialCheck(Check):
         )
         ids = df.select(F.col(self.ref_col).alias("ref_id")).distinct()
         orphans = referenced.filter(F.col("ref_id") != "").join(ids, "ref_id", "left_anti")
+        # persist the SPARSE orphan rows: violations and metrics are
+        # materialized separately by the runner, and an unpersisted
+        # plan would run the big-big anti-join twice
         violations = orphans.select(
             *_v(
                 self.name,
@@ -384,14 +393,14 @@ class ReferentialCheck(Check):
                 "must reference existing image_id",
                 "orphan caption reference",
             )
-        )
+        ).persist()
         n_orphans = violations.groupBy().agg(F.count(F.lit(1)).alias("n")).select(
             F.lit(self.name).alias("check"),
             F.lit(-1).alias("part"),
             F.lit("n_orphans").alias("metric"),
             F.col("n").cast("double").alias("value"),
         )
-        return CheckOutput(violations, n_orphans)
+        return CheckOutput(violations, n_orphans, cached=(violations,))
 
 
 # ---------------------------------------------------------------------------
@@ -491,14 +500,19 @@ class PayloadCheck(Check):
                     {c: pd.Series(dtype=object) for c in V_COLS}
                 )
 
-        violations = cols.mapInPandas(check_batch, schema=VIOLATION_SCHEMA)
+        # persist the SPARSE violation rows: the runner materializes
+        # violations and metrics as separate jobs, and the metrics
+        # lineage would otherwise RE-DECODE every payload — the single
+        # most expensive stage in the suite, paid twice (caught by the
+        # round-3 per-check profile: 7.1s → 3.6s at 100k images)
+        violations = cols.mapInPandas(check_batch, schema=VIOLATION_SCHEMA).persist()
         metrics = violations.groupBy("part").agg(F.count(F.lit(1)).alias("n")).select(
             F.lit(name).alias("check"),
             F.col("part").cast("int"),
             F.lit("n_payload_violations").alias("metric"),
             F.col("n").cast("double").alias("value"),
         )
-        return CheckOutput(violations, metrics)
+        return CheckOutput(violations, metrics, cached=(violations,))
 
 
 # ---------------------------------------------------------------------------
