@@ -37,26 +37,36 @@ def _true_binary(y: Column) -> Column:
 
 
 def confusion_counts(
-    df: DataFrame, pred_col: str = "verdict", label_col: str = "y_true"
+    df: DataFrame,
+    pred_col: str = "verdict",
+    label_col: str = "y_true",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One-row DataFrame of TP/TN/FP/FN (``evaluation.py:215-246``);
-    pred uses the -1 = anomaly encoding, labels are 0/1."""
+    pred uses the -1 = anomaly encoding, labels are 0/1.
+    ``weight_col`` makes each input row stand for that many observed
+    rows — the pre-aggregated path ``compare_detectors`` uses so one
+    scored-table scan serves every metric family."""
     p = (F.col(pred_col) == -1).cast("int")
     t = _true_binary(F.col(label_col))
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     return df.agg(
-        F.sum(((p == 1) & (t == 1)).cast("long")).alias("true_positives"),
-        F.sum(((p == 0) & (t == 0)).cast("long")).alias("true_negatives"),
-        F.sum(((p == 1) & (t == 0)).cast("long")).alias("false_positives"),
-        F.sum(((p == 0) & (t == 1)).cast("long")).alias("false_negatives"),
+        F.sum(F.when((p == 1) & (t == 1), w).otherwise(0)).alias("true_positives"),
+        F.sum(F.when((p == 0) & (t == 0), w).otherwise(0)).alias("true_negatives"),
+        F.sum(F.when((p == 1) & (t == 0), w).otherwise(0)).alias("false_positives"),
+        F.sum(F.when((p == 0) & (t == 1), w).otherwise(0)).alias("false_negatives"),
     )
 
 
 def classification_metrics(
-    df: DataFrame, pred_col: str = "verdict", label_col: str = "y_true"
+    df: DataFrame,
+    pred_col: str = "verdict",
+    label_col: str = "y_true",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One row: accuracy/precision/recall/f1 (zero_division → 0.0),
     derived from the confusion counts in the SAME single agg pass."""
-    cm = confusion_counts(df, pred_col, label_col)
+    cm = confusion_counts(df, pred_col, label_col, weight_col)
     tp, tn = F.col("true_positives"), F.col("true_negatives")
     fp, fn = F.col("false_positives"), F.col("false_negatives")
     n = tp + tn + fp + fn
@@ -80,7 +90,10 @@ def classification_metrics(
 
 
 def roc_auc(
-    df: DataFrame, score_col: str = "score", label_col: str = "y_true"
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "y_true",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One row ``(roc_auc double)`` — rank-based Mann-Whitney AUC,
     exact under ties, with NO single-reducer global rank.
@@ -108,10 +121,11 @@ def roc_auc(
     """
     s = F.col(score_col).cast("double")
     t = _true_binary(F.col(label_col))
-    base = df.select(t.alias("t"), s.alias("s"))
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    base = df.select(t.alias("t"), s.alias("s"), w.alias("w"))
     g = base.groupBy("s").agg(
-        F.sum(F.col("t").cast("long")).alias("np"),
-        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("t") == 1, F.col("w")).otherwise(0)).alias("np"),
+        F.sum("w").alias("n"),
     )
     part = g.repartitionByRange("s").withColumn("pid", F.spark_partition_id())
     w = Window.partitionBy("pid").orderBy("s")
@@ -240,16 +254,35 @@ def compare_detectors(
     label_col: str = "y_true",
 ) -> DataFrame:
     """Per-detector metric rows (``evaluation.py:176-212``): fit +
-    transform each member, compute metrics, union the 1-row frames."""
-    outs: list[DataFrame] = []
+    transform each member, compute metrics, union the 1-row frames.
+
+    Scale: each member's scored projection is reduced to ONE grouped
+    pass — `(score, verdict, label) → count` — and both metric
+    families read that tiny weighted table (persisted), so a detector
+    costs fit + a single scoring scan, not one scan per metric."""
+    rows = []
+    spark = df.sparkSession
     for name, det in detectors.items():
         scored = det.fit(df, cols).transform(df)
-        m = classification_metrics(scored, "verdict", label_col)
-        a = roc_auc(scored, "score", label_col)
-        outs.append(
-            m.crossJoin(a).select(F.lit(name).alias("detector"), "*")
+        g = (
+            scored.groupBy(
+                F.col("score").cast("double").alias("score"),
+                F.col("verdict").alias("verdict"),
+                _true_binary(F.col(label_col)).alias("t"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .persist()
         )
-    result = outs[0]
-    for o in outs[1:]:
-        result = result.unionByName(o)
-    return result
+        # both metric families materialize WHILE g is pinned (the
+        # metric rows are scalars; eager is free) — one scoring scan
+        # per detector total
+        m = classification_metrics(g, "verdict", "t", weight_col="c").first()
+        a = roc_auc(g, "score", "t", weight_col="c").first()
+        g.unpersist(blocking=False)
+        rows.append((name, *m, a["roc_auc"]))
+    return spark.createDataFrame(
+        rows,
+        "detector string, accuracy double, precision double, recall double, "
+        "f1 double, true_positives long, true_negatives long, "
+        "false_positives long, false_negatives long, roc_auc double",
+    )
