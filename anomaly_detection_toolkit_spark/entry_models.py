@@ -449,6 +449,7 @@ def pm_process_pipeline_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "lineitem", sf_dir)
         .groupBy("l_orderkey", "l_linenumber")
         .agg(F.avg(F.col("l_extendedprice").cast("double")).alias("price"))
+        .persist()  # feeds detector fit + latest-cycle window + alerts
     )
     det = ZScoreDetector(threshold=3.0).fit(panel, ["price"])
     pipe = PMProcessPipeline(anomaly_detector=det)
@@ -503,7 +504,12 @@ def _fit_rul_models(spark: SparkSession, sf_dir: str):
     )
     fcols = ["l_quantity", "l_extendedprice", "l_discount",
              "l_quantity_rolling_mean_3", "l_quantity_rolling_std_3"]
-    feats = feats.fillna(0.0, subset=fcols)
+    # the window-heavy feature lineage feeds FOUR consumers (two
+    # Pipeline.fit passes, two predict transforms) and Spark does not
+    # CSE plans across actions — persist it once (same pattern as
+    # dedup's exploded/banded intermediates; bench clears cache
+    # between queries)
+    feats = feats.fillna(0.0, subset=fcols).persist()
     est = RULEstimator(n_estimators=20, max_depth=6).fit(feats, fcols, "RUL")
     clf = FailureClassifier(n_estimators=20, max_depth=6).fit(
         feats, fcols, "binary_label"
