@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from anomaly_detection_toolkit_spark.functions.localrel import local_rows_df
+
 
 def _true_binary(y: Column) -> Column:
     """Reference remap: (y == 1) if any y==1 else y — for 0/1 labels
@@ -139,7 +141,8 @@ def roc_auc(
         offsets.append((int(r["pid"]), acc))
         acc += int(r["tot"])
     spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
+    # literal relation, not a pickled RDD (functions/localrel.py)
+    off_df = local_rows_df(spark, offsets or [(0, 0)], "pid int, off long")
     ranked = part.join(F.broadcast(off_df), "pid").select(
         "np",
         "n",
@@ -161,7 +164,7 @@ def roc_auc(
     if row["n_pos"] and row["n_neg"]:
         n_pos, n_neg = int(row["n_pos"]), int(row["n_neg"])
         auc = (float(row["rank_sum"]) - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
-    return spark.createDataFrame([(float(auc),)], "roc_auc double")
+    return local_rows_df(spark, [(float(auc),)], "roc_auc double")
 
 
 def lead_time_metrics(
@@ -280,7 +283,8 @@ def compare_detectors(
         a = roc_auc(g, "score", "t", weight_col="c").first()
         g.unpersist(blocking=False)
         rows.append((name, *m, a["roc_auc"]))
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         rows,
         "detector string, accuracy double, precision double, recall double, "
         "f1 double, true_positives long, true_negatives long, "

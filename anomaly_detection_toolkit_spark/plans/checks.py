@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from anomaly_detection_toolkit_spark.functions import codecs
+from anomaly_detection_toolkit_spark.functions.localrel import local_rows_df
 
 VIOLATION_SCHEMA = (
     "check string, level string, column string, entity_id string, "
@@ -116,11 +117,15 @@ class SchemaCheck(Check):
                 rows.append(
                     (self.name, "error", col, None, -1, actual[col], typ, "type mismatch")
                 )
-        violations = (
-            spark.createDataFrame(rows, VIOLATION_SCHEMA) if rows else empty_violations(spark)
-        )
-        metrics = spark.createDataFrame(
-            [(self.name, -1, "n_schema_violations", float(len(rows)))], METRICS_SCHEMA
+        # literal relations, not pickled RDDs: these tiny tables ride
+        # inside the suite's violations/metrics unions, and an RDD
+        # member re-runs its Python deserialization on every union
+        # action (~0.4s each; see functions/localrel.py)
+        violations = local_rows_df(spark, rows, VIOLATION_SCHEMA)
+        metrics = local_rows_df(
+            spark,
+            [(self.name, -1, "n_schema_violations", float(len(rows)))],
+            METRICS_SCHEMA,
         )
         return CheckOutput(violations, metrics)
 
@@ -206,8 +211,13 @@ class ColumnStatsCheck(Check):
         # tiny (n_parts rows); persisted so the metric/violation
         # projections below don't each re-run the input scan
         stats = self._stats(df).persist()
-        viols: list[DataFrame] = []
-        metrics: list[DataFrame] = []
+        # ONE inline/explode projection each for metrics and
+        # violations, not one DataFrame per (column, metric/rule): the
+        # per-DataFrame form analyzed ~25 plans per run (≈1.1s of
+        # driver-side Catalyst work per suite invocation) and put ~25
+        # InMemoryTableScan subtrees into the suite's union jobs
+        metric_structs: list[Column] = []
+        viol_structs: list[Column] = []
         for c, bounds in self.constraints.items():
             null_rate = (F.col("n_rows") - F.col(f"{c}__nn")) / F.col("n_rows")
             stat_map = {
@@ -221,10 +231,8 @@ class ColumnStatsCheck(Check):
             for tag in self._quantile_tags(bounds):
                 stat_map[tag] = F.col(f"{c}__{self._tag_col(tag)}")
             for metric, expr in stat_map.items():
-                metrics.append(
-                    stats.select(
-                        F.lit(self.name).alias("check"),
-                        F.col("part").cast("int"),
+                metric_structs.append(
+                    F.struct(
                         F.lit(f"{c}.{metric}").alias("metric"),
                         expr.cast("double").alias("value"),
                     )
@@ -242,28 +250,43 @@ class ColumnStatsCheck(Check):
                 ]
             for key, expr, breach in rules:
                 if key in bounds:
-                    viols.append(
-                        stats.filter(breach(expr, bounds[key])).select(
-                            *_v(
-                                self.name,
-                                "error",
-                                c,
-                                None,
-                                F.col("part"),
-                                expr,
-                                bounds[key],
-                                f"{c} {key} breached",
-                            )
+                    # condition-gated struct: NULL when the bound
+                    # holds, compacted away below (same rows as the
+                    # old per-rule filter())
+                    viol_structs.append(
+                        F.when(
+                            breach(expr, bounds[key]),
+                            F.struct(
+                                F.lit(c).alias("column"),
+                                expr.cast("string").alias("value"),
+                                F.lit(str(bounds[key])).alias("threshold"),
+                                F.lit(f"{c} {key} breached").alias("message"),
+                            ),
                         )
                     )
+        metrics = stats.select(
+            F.lit(self.name).alias("check"),
+            F.col("part").cast("int"),
+            F.inline(F.array(*metric_structs)),
+        )
         spark = df.sparkSession
-        violations = viols[0] if viols else empty_violations(spark)
-        for v in viols[1:]:
-            violations = violations.unionByName(v)
-        m = metrics[0]
-        for x in metrics[1:]:
-            m = m.unionByName(x)
-        return CheckOutput(violations, m, cached=(stats,))
+        if viol_structs:
+            violations = stats.select(
+                F.col("part").cast("int").alias("part"),
+                F.explode(F.array_compact(F.array(*viol_structs))).alias("s"),
+            ).select(
+                F.lit(self.name).alias("check"),
+                F.lit("error").alias("level"),
+                F.col("s.column").alias("column"),
+                F.lit(None).cast("string").alias("entity_id"),
+                F.col("part"),
+                F.col("s.value").alias("value"),
+                F.col("s.threshold").alias("threshold"),
+                F.col("s.message").alias("message"),
+            )
+        else:
+            violations = empty_violations(spark)
+        return CheckOutput(violations, metrics, cached=(stats,))
 
 
 # ---------------------------------------------------------------------------

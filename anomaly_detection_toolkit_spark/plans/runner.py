@@ -117,12 +117,15 @@ def run_suite(
         F.sum(F.when(F.col("level") == "error", 1).otherwise(0)).alias("n_errors"),
         F.sum(F.when(F.col("level") == "warning", 1).otherwise(0)).alias("n_warnings"),
     )
-    # build the (part × check) grid driver-side in ONE tiny DataFrame:
-    # a crossJoin of two createDataFrame results would inherit
-    # defaultParallelism partitions on each side → a 32×32=1024-task
-    # cartesian for a 56-row grid (pure scheduling overhead)
+    # build the (part × check) grid driver-side as a pure-JVM literal
+    # relation: createDataFrame would pickle it into a Python RDD whose
+    # coalesce(1) iterates every slice through ONE worker sequentially
+    # — measured 4.9s PER ACTION for a 224-cell grid (a quarter of the
+    # 100k-image suite wall); the literal form is milliseconds
+    from anomaly_detection_toolkit_spark.functions.localrel import local_rows_df
+
     grid_rows = [(int(p), c.name) for p in all_parts for c in checks]
-    grid = spark.createDataFrame(grid_rows, "part int, check string").coalesce(1)
+    grid = local_rows_df(spark, grid_rows, "part int, check string")
     verdicts = (
         grid.join(counts, ["part", "check"], "left")
         .withColumn("n_errors", F.coalesce(F.col("n_errors"), F.lit(0)).cast("long"))
