@@ -108,12 +108,24 @@ def main() -> None:
 
     img_path = str(REPO / ".bench_cache" / f"images_n{args.images}_p32")
     if not (Path(img_path) / "_SUCCESS").exists():
-        from anomaly_detection_toolkit_spark.session import get_spark
-        from anomaly_detection_toolkit_spark.sources import images
-
-        spark = get_spark("scaling-gen", cpus=32)
-        images.write_images(spark, img_path, args.images, n_parts=32)
-        spark.stop()
+        # Generate in a SUBPROCESS: spark.stop() in-process leaves the
+        # py4j gateway JVM alive (it exits with the Python parent), and
+        # a lingering ~50GB post-generation JVM measurably polluted the
+        # host CPU baseline and the first measurement level in the
+        # round-3 2M run. A child process takes the JVM down with it.
+        gen = (
+            "import sys; sys.path.insert(0, sys.argv[3])\n"
+            "from anomaly_detection_toolkit_spark.session import get_spark\n"
+            "from anomaly_detection_toolkit_spark.sources import images\n"
+            "spark = get_spark('scaling-gen', cpus=32)\n"
+            "images.write_images(spark, sys.argv[1], int(sys.argv[2]), n_parts=32)\n"
+            "spark.stop()\n"
+        )
+        subprocess.run(
+            [sys.executable, "-c", gen, img_path, str(args.images), str(REPO)],
+            check=True,
+            cwd=str(REPO),
+        )
 
     host = host_cpu_baseline()
     results = {c: run_level(c, img_path, args.runs) for c in args.levels}
