@@ -39,11 +39,21 @@ class SuiteResult:
     parts_checked: list[int]
     cached: tuple[DataFrame, ...] = ()
 
-    def unpersist(self) -> None:
+    def unpersist(self, blocking: bool = False) -> None:
         """Release every cache the suite run holds (call after the
-        outputs have been materialized/written)."""
+        outputs have been materialized/written).
+
+        Releasing ALL of it matters beyond memory: a later plan-identical
+        ``run_suite`` call re-persists the same logical plans, and
+        Spark's cache manager resolves those to the still-materialized
+        InMemoryRelations — silently skipping the heavy stages (payload
+        decode, uniqueness shuffles). Correct for production re-runs,
+        fatal for benchmarks that believe they measured a full pass
+        (a 2M-image suite "ran" in 56s against 1037s of real work).
+        ``blocking=True`` waits for block removal (deterministic tests).
+        """
         for d in (self.violations, self.metrics, *self.cached):
-            d.unpersist()
+            d.unpersist(blocking=blocking)
 
 
 def _union_all(dfs: list[DataFrame], empty: DataFrame) -> DataFrame:

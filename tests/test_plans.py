@@ -206,3 +206,34 @@ def test_check_metrics_read_their_violation_caches(spark, tmp_path):
         finally:
             for c in out.cached:
                 c.unpersist()
+
+
+def test_suite_unpersist_releases_every_cache(spark, tmp_path):
+    """SuiteResult.unpersist() must return the block manager to its
+    pre-run state. If any per-check persist survives, the NEXT
+    plan-identical run_suite resolves its persists to the
+    already-materialized InMemoryRelations and silently skips the
+    heavy stages — which turned the round-3 scaling benchmark into a
+    cache-hot partial measurement (2M N=2: run1 1037s, run2 56s)
+    until tools/scaling_bench.py switched to res.unpersist()."""
+    from anomaly_detection_toolkit_spark.plans.checks import default_suite
+    from anomaly_detection_toolkit_spark.plans.runner import run_suite
+    from anomaly_detection_toolkit_spark.sources import images
+
+    d = str(tmp_path / "imgs")
+    images.write_images(spark, d, 300, n_parts=3)
+    df = spark.read.parquet(d)
+
+    def cached_rdd_ids() -> set:
+        return {
+            info.id() for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    before = cached_rdd_ids()
+    res = run_suite(df, default_suite())
+    for out in (res.violations, res.verdicts, res.metrics):
+        out.write.format("noop").mode("overwrite").save()
+    assert cached_rdd_ids() - before, "suite should persist intermediates"
+    res.unpersist(blocking=True)
+    leaked = cached_rdd_ids() - before
+    assert not leaked, f"persisted RDDs leaked past unpersist: {leaked}"

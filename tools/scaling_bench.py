@@ -56,7 +56,14 @@ for _ in range(runs):
     res = run_suite(df, default_suite())
     noop(res.violations); noop(res.verdicts); noop(res.metrics)
     times.append(time.perf_counter() - t0)
-    res.violations.unpersist(); res.metrics.unpersist()
+    # res.unpersist(), NOT just violations/metrics: the per-check
+    # persisted subtrees (res.cached — payload-decode violations,
+    # dup-key dims, drift tables) otherwise stay in the cache manager
+    # and the NEXT run's plan-identical persists resolve to the
+    # already-materialized InMemoryRelations, silently skipping the
+    # heavy stages — runs 2+ measured a cache-hot partial suite
+    # (2M N=2: run1 1037s vs run2 56s). bench.py always did this.
+    res.unpersist()
 print("RESULT " + json.dumps({"cpus": cpus, "n": n, "times": times}))
 """
 
