@@ -19,7 +19,7 @@ import os
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from anomaly_detection_toolkit_spark.plans.checks import (
@@ -65,11 +65,60 @@ def _union_all(dfs: list[DataFrame], empty: DataFrame) -> DataFrame:
     return out
 
 
+# deterministic total-order key for violation exemplars: errors sort
+# ahead of warnings, then entity/column/value — so the capped set is a
+# pure function of the violation VALUES, independent of partitioning
+_EXEMPLAR_ORDER = ["level", "entity_id", "column", "value", "threshold", "message"]
+
+
+def cap_violations(violations: DataFrame, per_cell: int) -> DataFrame:
+    """Bound violations to ``per_cell`` deterministic exemplars per
+    (check, part) cell — the 10^12-row guard: a systematically broken
+    ingest (every caption mismatching) must not make the violations
+    sink itself a 10^12-row write. True counts still reach the verdict
+    grid and metrics; this bounds only the row-level exemplar output.
+
+    Two-stage top-k: a partition-LOCAL cap (mapInPandas, no shuffle)
+    first reduces each input partition to its own ``per_cell`` best
+    rows per cell, so the global window rank shuffles at most
+    n_partitions × per_cell rows per cell instead of the raw
+    violation set — a dead partition with 10^9 failing rows would
+    otherwise funnel them all through one reducer. The global top-k
+    of a total order is the union of partition-local top-ks, so the
+    result is identical to ranking the full set.
+    """
+    cols = list(violations.columns)
+    asc = [F.col(c).asc_nulls_first() for c in _EXEMPLAR_ORDER]
+
+    def local_cap(batches):
+        import pandas as pd
+
+        best: dict[tuple, "pd.DataFrame"] = {}
+        for pdf in batches:
+            for cell, grp in pdf.groupby(["check", "part"], dropna=False):
+                prev = best.get(cell)
+                cand = grp if prev is None else pd.concat([prev, grp])
+                best[cell] = cand.sort_values(
+                    _EXEMPLAR_ORDER, na_position="first", kind="mergesort"
+                ).head(per_cell)
+        if best:
+            yield pd.concat(list(best.values()))[cols]
+
+    pre = violations.mapInPandas(local_cap, schema=violations.schema)
+    w = Window.partitionBy("check", "part").orderBy(*asc)
+    return (
+        pre.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= per_cell)
+        .drop("_rk")
+    )
+
+
 def run_suite(
     df: DataFrame,
     checks: list[Check],
     part_col: str = "part",
     parts: list[int] | None = None,
+    violations_cap: int | None = None,
 ) -> SuiteResult:
     """Run checks over (optionally a subset of) partitions.
 
@@ -115,15 +164,26 @@ def run_suite(
         cached = cached + tuple(out.cached)
     # persist the (sparse) violation rows: they feed both the verdict
     # grid aggregation and the violations sink — without this every
-    # consumer would re-run all checks against the full input
-    violations = _union_all(v_list, empty_violations(spark)).persist()
+    # consumer would re-run all checks against the full input.
+    # With violations_cap set, the FULL union is never persisted (in
+    # the pathological all-rows-failing case it is input-sized):
+    # verdict counts aggregate it in one map-side-partial pass served
+    # by the per-check caches, and only the capped exemplars persist.
+    violations_full = _union_all(v_list, empty_violations(spark))
+    if violations_cap is None:
+        violations = violations_full.persist()
+        counts_src = violations
+    else:
+        counts_src = violations_full
+        violations = cap_violations(violations_full, violations_cap).persist()
     # metrics are small aggregated rows, but their lineage re-runs the
     # per-check aggregations — persist so the metrics sink write and
     # any later consumer compute them once
     metrics = _union_all(m_list, empty_metrics(spark)).persist()
 
-    # verdict grid: every (part, check) cell, failed iff >=1 error
-    counts = violations.groupBy("part", "check").agg(
+    # verdict grid: every (part, check) cell, failed iff >=1 error —
+    # counts always come from the FULL violation set, never the cap
+    counts = counts_src.groupBy("part", "check").agg(
         F.sum(F.when(F.col("level") == "error", 1).otherwise(0)).alias("n_errors"),
         F.sum(F.when(F.col("level") == "warning", 1).otherwise(0)).alias("n_warnings"),
     )
@@ -316,6 +376,7 @@ def run_validation_job(
     checks: list[Check] | None = None,
     part_col: str = "part",
     incremental: bool = False,
+    violations_cap: int | None = None,
 ) -> SuiteResult | None:
     """Resumable end-to-end job: plan remaining partitions from the
     ledger, run the suite, append outputs, record completion.
@@ -342,7 +403,9 @@ def run_validation_job(
         todo = ledger.remaining_parts(snap, all_parts)
     if not todo:
         return None
-    result = run_suite(df, checks, part_col=part_col, parts=todo)
+    result = run_suite(
+        df, checks, part_col=part_col, parts=todo, violations_cap=violations_cap
+    )
     outputs = {}
     for name, out_df in (
         ("verdicts", result.verdicts),

@@ -217,6 +217,7 @@ def run_validation_job_iceberg(
     checks=None,
     part_col: str = "part",
     snapshot_id: int | None = None,
+    violations_cap: int | None = None,
 ):
     """Iceberg-native variant of ``runner.run_validation_job``.
 
@@ -256,7 +257,13 @@ def run_validation_job_iceberg(
     )
     if not todo:
         return None
-    result = run_suite(df, checks or default_suite(), part_col=part_col, parts=todo)
+    result = run_suite(
+        df,
+        checks or default_suite(),
+        part_col=part_col,
+        parts=todo,
+        violations_cap=violations_cap,
+    )
     outputs = {}
     for name, out_df in (
         ("verdicts", result.verdicts),

@@ -237,3 +237,71 @@ def test_suite_unpersist_releases_every_cache(spark, tmp_path):
     res.unpersist(blocking=True)
     leaked = cached_rdd_ids() - before
     assert not leaked, f"persisted RDDs leaked past unpersist: {leaked}"
+
+
+def test_violations_cap_bounds_exemplars_keeps_exact_counts(spark, tmp_path):
+    """violations_cap bounds the returned violations to K deterministic
+    exemplars per (check, part) cell while the verdict grid still
+    carries EXACT error/warning counts from the full set — the
+    petabyte guard for a systematically broken ingest."""
+    from anomaly_detection_toolkit_spark.plans.checks import default_suite
+    from anomaly_detection_toolkit_spark.plans.runner import run_suite
+    from anomaly_detection_toolkit_spark.sources import images
+
+    d = str(tmp_path / "imgs")
+    images.write_images(spark, d, 400, n_parts=2)
+    # corrupt EVERY caption -> the referential check fails all rows
+    df = spark.read.parquet(d).withColumn(
+        "caption", F.lit("broken reference to img_999999999999")
+    )
+    res = run_suite(df, default_suite(), violations_cap=5)
+    try:
+        per_cell = (
+            res.violations.groupBy("check", "part").count().collect()
+        )
+        assert per_cell and all(r["count"] <= 5 for r in per_cell)
+        ref = {
+            r["part"]: r["n_errors"]
+            for r in res.verdicts.filter(
+                F.col("check") == "referential_caption"
+            ).collect()
+        }
+        # exact counts: every row of each part is an orphan (200/part)
+        assert sum(ref.values()) == 400 and all(v == 200 for v in ref.values())
+    finally:
+        res.unpersist(blocking=True)
+
+
+def test_violations_cap_is_partitioning_invariant(spark):
+    """The capped exemplar SET is a pure function of the violation
+    values: local-top-k union global-rank must pick identical rows
+    whatever the input partitioning."""
+    from anomaly_detection_toolkit_spark.plans.checks import VIOLATION_SCHEMA
+    from anomaly_detection_toolkit_spark.plans.runner import cap_violations
+
+    rows = [
+        (
+            "chk",
+            "warning" if i % 3 else "error",
+            "w",
+            f"img-{i:04d}",
+            i % 4,
+            str(i),
+            None,
+            "m",
+        )
+        for i in range(500)
+    ]
+    base = spark.createDataFrame(rows, VIOLATION_SCHEMA)
+    got = {
+        n: sorted(map(tuple, cap_violations(base.repartition(n), 7).collect()))
+        for n in (1, 13)
+    }
+    assert got[1] == got[13]
+    assert len(got[1]) == 4 * 7
+    # errors sort ahead of warnings in every cell's exemplars
+    by_cell = {}
+    for t in got[1]:
+        by_cell.setdefault(t[4], []).append(t[1])
+    for levels in by_cell.values():
+        assert levels == sorted(levels)  # 'error' < 'warning'

@@ -69,6 +69,16 @@ def main(argv: list[str] | None = None) -> int:
         "histogram) instead of the KS-only default suite",
     )
     ap.add_argument(
+        "--violations-cap",
+        type=int,
+        default=None,
+        metavar="K",
+        help="bound the violations output to K deterministic exemplar "
+        "rows per (check, part) cell; verdict/metric counts stay exact. "
+        "The petabyte-table guard: a systematically broken ingest must "
+        "not make the violations sink an input-sized write",
+    )
+    ap.add_argument(
         "--master",
         default="inherit",
         help="'inherit' under spark-submit (default), or e.g. local[8]",
@@ -94,6 +104,7 @@ def main(argv: list[str] | None = None) -> int:
             checks=checks,
             part_col=args.part_col,
             snapshot_id=args.snapshot_id,
+            violations_cap=args.violations_cap,
         )
     else:
         result = run_validation_job(
@@ -103,6 +114,7 @@ def main(argv: list[str] | None = None) -> int:
             checks=checks,
             part_col=args.part_col,
             incremental=args.incremental,
+            violations_cap=args.violations_cap,
         )
     dt = time.perf_counter() - t0
     if result is None:
