@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from anomaly_detection_toolkit_spark.entry_queries import r4, register
+from anomaly_detection_toolkit_spark.entry_queries import r4, register, register_extra
 from anomaly_detection_toolkit_spark.sources.images import generate_images
 
 
@@ -548,6 +548,151 @@ def drift_primitives_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("zmax") * 1e4 + F.lit(0.5)).cast("bigint").alias("zmax_e4"),
         F.col("iqr_breaches").cast("bigint").alias("iqr_breaches"),
         (F.col("zmax") > 1.72).cast("int").alias("z_flag"),
+        (F.col("iqr_breaches") > 0).cast("int").alias("iqr_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLING drift primitives (register_extra: local parity gate — the
+# driver registry stays at exactly 50): DriftCheck(rolling_window=4)
+# scores each partition against the trailing 4 partitions in part
+# order instead of the global cross-partition distribution — the
+# literal "rolling z-score" reading of the north star. The fact plants
+# the drift LATE: parts 0-8 carry the mixed-language documents
+# (doc_id % 9) and part 9 is all-English, so the regime change arrives
+# at the end of the sequence where only a trailing baseline flags it
+# at full strength (z→1.5, the n=4 sample-std maximum). Cross-engine
+# exactness: quantized integer proportions; sample variance derived
+# from exact integer window sums as (S2−S1²/n)/(n−1) — the identical
+# expression tree on both engines — and windowed quantile_cont /
+# percentile interpolate exact integers at exact binary fractions.
+# ---------------------------------------------------------------------------
+
+_DRIFT_ROLL_SQL = r"""
+    WITH fact AS (
+      SELECT CASE WHEN lang = 'en' THEN 9
+                  ELSE CAST(doc_id % 9 AS INTEGER) END AS part,
+             CASE lang WHEN 'en' THEN 0 WHEN 'fr' THEN 1 WHEN 'es' THEN 2
+                       WHEN 'de' THEN 3 ELSE 4 END AS lang_code,
+             least(n_chars // 50, 10) AS len_b,
+             CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) % 8 AS hash_b
+      FROM documents
+    ),
+    db AS (
+      SELECT part, 'lang_code' AS col, CAST(lang_code AS DOUBLE) AS bucket FROM fact
+      UNION ALL SELECT part, 'len_b', CAST(len_b AS DOUBLE) FROM fact
+      UNION ALL SELECT part, 'hash_b', CAST(hash_b AS DOUBLE) FROM fact
+    ),
+    cnt AS (SELECT col, part, bucket, count(*) AS c FROM db GROUP BY 1, 2, 3),
+    pgrid AS (
+      SELECT p.col, p.part, b.bucket, coalesce(c.c, 0) AS c
+      FROM (SELECT DISTINCT col, part FROM cnt) p
+      JOIN (SELECT DISTINCT col, bucket FROM cnt) b USING (col)
+      LEFT JOIN cnt c ON c.col = p.col AND c.part = p.part AND c.bucket = b.bucket
+    ),
+    en AS (
+      SELECT col, part, bucket,
+             CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY col, part) AS p,
+             CAST(sum(c) OVER (PARTITION BY col, bucket) AS DOUBLE)
+               / sum(c) OVER (PARTITION BY col) AS q
+      FROM pgrid
+    ),
+    ks AS (
+      SELECT col, part, max(abs(cdf_p - cdf_q)) AS ks FROM (
+        SELECT col, part,
+               sum(p) OVER (PARTITION BY col, part ORDER BY bucket) AS cdf_p,
+               sum(q) OVER (PARTITION BY col, part ORDER BY bucket) AS cdf_q
+        FROM en
+      ) GROUP BY col, part
+    ),
+    pv AS (SELECT col, part, bucket, floor(p * 1e6 + 0.5) AS pv FROM en),
+    st AS (
+      SELECT col, part, bucket, pv,
+             sum(pv) OVER w AS s1,
+             sum(pv * pv) OVER w AS s2,
+             count(*) OVER w AS n,
+             quantile_cont(pv, 0.25) OVER w AS q1,
+             quantile_cont(pv, 0.75) OVER w AS q3
+      FROM pv
+      WINDOW w AS (PARTITION BY col, bucket ORDER BY part
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    ),
+    z AS (
+      SELECT col, part,
+             abs(pv - mu) / (CASE WHEN sd > 0 THEN sd ELSE 1 END) AS az,
+             CAST(pv < q1 - 1.5 * (q3 - q1)
+                  OR pv > q3 + 1.5 * (q3 - q1) AS INTEGER) AS br
+      FROM (
+        SELECT col, part, pv, q1, q3, s1 / n AS mu,
+               sqrt(greatest(
+                 CASE WHEN n > 1 THEN (s2 - s1 * s1 / n) / (n - 1)
+                      ELSE 0.0 END, 0.0)) AS sd
+        FROM st
+      )
+    ),
+    agg AS (
+      SELECT col, part, max(az) AS zmax, sum(br) AS breaches
+      FROM z GROUP BY col, part
+    )
+    SELECT agg.col AS "column",
+           CAST(agg.part AS INTEGER) AS part,
+           CAST(floor(ks.ks * 1e4 + 0.5) AS BIGINT) AS ks_e4,
+           CAST(floor(agg.zmax * 1e4 + 0.5) AS BIGINT) AS zmax_e4,
+           CAST(agg.breaches AS BIGINT) AS iqr_breaches,
+           CAST(agg.zmax > 1.4 AS INTEGER) AS z_flag,
+           CAST(agg.breaches > 0 AS INTEGER) AS iqr_flag
+    FROM agg JOIN ks ON agg.col = ks.col AND agg.part = ks.part
+"""
+
+
+@register_extra("drift_rolling_documents", _DRIFT_ROLL_SQL)
+def drift_rolling_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DriftCheck(rolling_window=4): trailing-window z-score + IQR
+    fences over a 10-partition sequence whose final partition is the
+    planted all-English regime change — the rolling baseline flags it
+    at the n=4 sample-std maximum (z=1.5 > 1.4) while early mixed
+    partitions stay under the gate."""
+    from anomaly_detection_toolkit_spark.plans.checks import DriftCheck
+    from anomaly_detection_toolkit_spark.sources.testdata import load_table
+
+    d = load_table(spark, "documents", sf_dir)
+    h60 = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+    lang_code = (
+        F.when(F.col("lang") == "en", 0)
+        .when(F.col("lang") == "fr", 1)
+        .when(F.col("lang") == "es", 2)
+        .when(F.col("lang") == "de", 3)
+        .otherwise(4)
+    )
+    fact = d.select(
+        F.when(F.col("lang") == "en", F.lit(9))
+        .otherwise(F.pmod(F.col("doc_id"), 9).cast("int"))
+        .cast("int")
+        .alias("part"),
+        lang_code.cast("int").alias("lang_code"),
+        F.least(F.floor(F.col("n_chars") / 50), F.lit(10)).cast("long").alias("len_b"),
+        F.pmod(h60, F.lit(8)).alias("hash_b"),
+    )
+    chk = DriftCheck(
+        columns={
+            "lang_code": F.col("lang_code").cast("double"),
+            "len_b": F.col("len_b").cast("double"),
+            "hash_b": F.col("hash_b").cast("double"),
+        },
+        part_col="part",
+        z_threshold=1.4,
+        iqr_k=1.5,
+        quantize=6,
+        rolling_window=4,
+    )
+    out = chk.scores(fact)
+    return out.select(
+        "column",
+        F.col("part").cast("int").alias("part"),
+        F.floor(F.col("ks") * 1e4 + F.lit(0.5)).cast("bigint").alias("ks_e4"),
+        F.floor(F.col("zmax") * 1e4 + F.lit(0.5)).cast("bigint").alias("zmax_e4"),
+        F.col("iqr_breaches").cast("bigint").alias("iqr_breaches"),
+        (F.col("zmax") > 1.4).cast("int").alias("z_flag"),
         (F.col("iqr_breaches") > 0).cast("int").alias("iqr_flag"),
     )
 

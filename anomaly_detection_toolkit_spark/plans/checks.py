@@ -571,6 +571,22 @@ class DriftCheck(Check):
       / ``iqr_k``; ``quantize`` (decimal places) scores proportions
       as scaled integers so results are bit-stable across engines
       and summation orders (the cross-engine-oracle knob).
+    - ``rolling_window=W`` switches the primitives' baseline from the
+      GLOBAL cross-partition distribution to the TRAILING window of
+      the W most recent partitions in ``part`` order (the literal
+      "rolling z-score" reading: ingest-ordered partitions, each
+      scored against its recent history, so a slow regime change
+      flags when it happens instead of diluting the global moments).
+      Conventions follow the reference's pandas rolling feature path
+      (``predictive_maintenance.py:115-137``): the frame INCLUDES the
+      current row with ``min_periods=1``, and the std is SAMPLE std
+      (pandas ddof default) — derived from exact integer window sums
+      as ``(S2 − S1²/n)/(n−1)`` so both engines evaluate an identical
+      expression tree on exact integers (bit-stable, like the global
+      mode); a frame of one (the first partition) has ``sd=0`` →
+      z=0, never self-flags (pandas yields NaN there — same verdict).
+      The window runs per (column, bucket) over a few thousand grid
+      rows, not over the data.
 
     A partition breaching a threshold yields one violation per
     (part, column). These are the toolkit's anomaly primitives
@@ -589,6 +605,7 @@ class DriftCheck(Check):
         z_threshold: float | None = None,
         iqr_k: float | None = None,
         quantize: int | None = None,
+        rolling_window: int | None = None,
     ):
         self.columns = columns
         self.ks_threshold = ks_threshold
@@ -597,6 +614,9 @@ class DriftCheck(Check):
         self.z_threshold = z_threshold
         self.iqr_k = iqr_k
         self.quantize = quantize
+        if rolling_window is not None and int(rolling_window) < 2:
+            raise ValueError("rolling_window must be >= 2")
+        self.rolling_window = rolling_window
 
     @property
     def _primitives(self) -> bool:
@@ -683,23 +703,20 @@ class DriftCheck(Check):
         else:
             pv = F.col("p")
         cells = enriched.select("column", "part", "bucket", pv.alias("pv"))
-        # per (column, bucket) moments + quartiles across partitions:
-        # a (cols × buckets)-row table — broadcast back to the cells.
-        # Variance via E[x²]−E[x]² (exact on quantized integers ≤1e6:
-        # pv² ≤ 1e12 « 2^53); z uses the ZScoreDetector convention
-        # (population σ, σ=0→divide by 1); fences are
-        # IQROutlierDetector's q1−k·IQR / q3+k·IQR.
-        stats = cells.groupBy("column", "bucket").agg(
-            F.avg("pv").alias("mu"),
-            F.avg(F.col("pv") * F.col("pv")).alias("msq"),
-            F.percentile(F.col("pv"), F.lit(0.25)).alias("q1"),
-            F.percentile(F.col("pv"), F.lit(0.75)).alias("q3"),
-        )
-        k = F.lit(float(self.iqr_k) if self.iqr_k is not None else 1.5)
-        iqr = F.col("q3") - F.col("q1")
-        scored = (
-            cells.join(F.broadcast(stats), ["column", "bucket"])
-            .withColumn(
+        if self.rolling_window is None:
+            # per (column, bucket) moments + quartiles across
+            # partitions: a (cols × buckets)-row table — broadcast
+            # back to the cells. Variance via E[x²]−E[x]² (exact on
+            # quantized integers ≤1e6: pv² ≤ 1e12 « 2^53); z uses the
+            # ZScoreDetector convention (population σ, σ=0→divide by
+            # 1); fences are IQROutlierDetector's q1−k·IQR / q3+k·IQR.
+            stats = cells.groupBy("column", "bucket").agg(
+                F.avg("pv").alias("mu"),
+                F.avg(F.col("pv") * F.col("pv")).alias("msq"),
+                F.percentile(F.col("pv"), F.lit(0.25)).alias("q1"),
+                F.percentile(F.col("pv"), F.lit(0.75)).alias("q3"),
+            )
+            based = cells.join(F.broadcast(stats), ["column", "bucket"]).withColumn(
                 "sd",
                 F.sqrt(
                     F.greatest(
@@ -707,16 +724,45 @@ class DriftCheck(Check):
                     )
                 ),
             )
-            .withColumn(
-                "z",
-                (F.col("pv") - F.col("mu"))
-                / F.when(F.col("sd") > 0, F.col("sd")).otherwise(F.lit(1.0)),
+        else:
+            # trailing-window primitives (the rolling mode, see class
+            # docstring): moments from exact integer window sums —
+            # sample variance (S2 − S1²/n)/(n−1), pandas rolling ddof
+            # — quartiles from the same frame. The window partitions
+            # by (column, bucket) over the tiny proportion grid; at
+            # 10^12 rows this is still thousands of rows, no extra
+            # pass over the data.
+            wspec = (
+                Window.partitionBy("column", "bucket")
+                .orderBy("part")
+                .rowsBetween(-(int(self.rolling_window) - 1), 0)
             )
-            .withColumn(
-                "breach",
-                (F.col("pv") < F.col("q1") - k * iqr)
-                | (F.col("pv") > F.col("q3") + k * iqr),
+            n = F.count(F.lit(1)).over(wspec)
+            s1 = F.sum("pv").over(wspec)
+            s2 = F.sum(F.col("pv") * F.col("pv")).over(wspec)
+            var = F.when(
+                n > 1, (s2 - s1 * s1 / n) / (n - F.lit(1))
+            ).otherwise(F.lit(0.0))
+            based = cells.select(
+                "column",
+                "part",
+                "bucket",
+                "pv",
+                (s1 / n).alias("mu"),
+                F.sqrt(F.greatest(var, F.lit(0.0))).alias("sd"),
+                F.percentile(F.col("pv"), F.lit(0.25)).over(wspec).alias("q1"),
+                F.percentile(F.col("pv"), F.lit(0.75)).over(wspec).alias("q3"),
             )
+        k = F.lit(float(self.iqr_k) if self.iqr_k is not None else 1.5)
+        iqr = F.col("q3") - F.col("q1")
+        scored = based.withColumn(
+            "z",
+            (F.col("pv") - F.col("mu"))
+            / F.when(F.col("sd") > 0, F.col("sd")).otherwise(F.lit(1.0)),
+        ).withColumn(
+            "breach",
+            (F.col("pv") < F.col("q1") - k * iqr)
+            | (F.col("pv") > F.col("q3") + k * iqr),
         )
         prim = scored.groupBy("column", "part").agg(
             F.max(F.abs(F.col("z"))).alias("zmax"),
@@ -753,6 +799,11 @@ class DriftCheck(Check):
                 "distribution drift vs global baseline",
             )
         )
+        baseline = (
+            f"trailing {self.rolling_window} partitions"
+            if self.rolling_window is not None
+            else "other partitions"
+        )
         if self.z_threshold is not None:
             violations = violations.unionByName(
                 drift.filter(F.col("zmax") > self.z_threshold).select(
@@ -764,7 +815,7 @@ class DriftCheck(Check):
                         F.col("part"),
                         F.round(F.col("zmax"), 4),
                         f"zmax<={self.z_threshold}",
-                        "bucket-proportion z-score drift vs other partitions",
+                        f"bucket-proportion z-score drift vs {baseline}",
                     )
                 )
             )
@@ -779,7 +830,7 @@ class DriftCheck(Check):
                         F.col("part"),
                         F.col("iqr_breaches").cast("double"),
                         f"iqr_k={self.iqr_k}",
-                        "bucket proportion outside cross-partition IQR fences",
+                        f"bucket proportion outside IQR fences of {baseline}",
                     )
                 )
             )
@@ -956,20 +1007,31 @@ def default_suite() -> list[Check]:
 
 
 def extended_suite(
-    z_threshold: float = 3.0, iqr_k: float = 1.5, pca_components: float | int = 0.8
+    z_threshold: float = 3.0,
+    iqr_k: float = 1.5,
+    pca_components: float | int = 0.8,
+    rolling_window: int | None = None,
 ) -> list[Check]:
     """``default_suite`` with ALL FOUR north-star drift scorers armed:
     KS (always on) plus z-score/IQR fences on cross-partition bucket
     proportions inside ``DriftCheck``, and PCA reconstruction error
     over partitions-as-histogram-rows (``PCADriftCheck`` on the
-    phash-mod-64 histogram). Kept separate from ``default_suite`` so
+    phash-mod-64 histogram). ``rolling_window=W`` scores the z/IQR
+    primitives against the trailing W partitions in part order instead
+    of the global cross-partition distribution (``validate.py
+    --drift-rolling W``). Kept separate from ``default_suite`` so
     the benchmark baselines stay like-for-like; ``validate.py
     --drift-primitives`` selects it."""
+    if rolling_window is not None and int(rolling_window) < 2:
+        raise ValueError("rolling_window must be >= 2")
     checks = default_suite()
     for c in checks:
         if isinstance(c, DriftCheck):
             c.z_threshold = z_threshold
             c.iqr_k = iqr_k
+            c.rolling_window = (
+                int(rolling_window) if rolling_window is not None else None
+            )
     checks.append(
         PCADriftCheck(
             "phash",

@@ -117,6 +117,71 @@ def test_primitive_violations_flag_planted_part(planted):
         d.unpersist()
 
 
+def rolling_expected(pmat: np.ndarray, window: int):
+    """Reference semantics for DriftCheck(rolling_window=W): pandas
+    rolling(window=W, min_periods=1) — frame INCLUDES the current
+    partition, SAMPLE std (pandas ddof default; reference
+    predictive_maintenance.py:117-118) — with numpy-linear quartile
+    fences on the same frame."""
+    n_parts, n_buckets = pmat.shape
+    zmax = np.zeros(n_parts)
+    breaches = np.zeros(n_parts, dtype=int)
+    for t in range(n_parts):
+        frame = pmat[max(0, t - window + 1) : t + 1]
+        mu = frame.mean(axis=0)
+        sd = frame.std(axis=0, ddof=1) if len(frame) > 1 else np.zeros(n_buckets)
+        zmax[t] = np.abs((pmat[t] - mu) / np.where(sd > 0, sd, 1.0)).max()
+        q1 = np.percentile(frame, 25, axis=0)
+        q3 = np.percentile(frame, 75, axis=0)
+        iqr = q3 - q1
+        breaches[t] = int(
+            ((pmat[t] < q1 - 1.5 * iqr) | (pmat[t] > q3 + 1.5 * iqr)).sum()
+        )
+    return zmax, breaches
+
+
+def test_rolling_zscore_matches_pandas_convention(planted, pmat):
+    # W=5: the fixture's parts alternate between two disjoint bucket
+    # supports, so a 4-frame is bimodal with fences too wide to
+    # breach; the 5-frame pins a nonzero breach at the planted part
+    rows = drift_table(planted, z_threshold=2.0, iqr_k=1.5, rolling_window=5)
+    zmax, breaches = rolling_expected(pmat, 5)
+    for part in range(N_PARTS):
+        assert rows[part]["zmax"] == pytest.approx(zmax[part], rel=1e-9)
+        assert rows[part]["iqr_breaches"] == breaches[part]
+    # the planted LATE drift (part 5) is scored against its trailing
+    # history and is the most anomalous partition in the sequence
+    assert max(range(N_PARTS), key=lambda p: rows[p]["zmax"]) == N_PARTS - 1
+    assert breaches[N_PARTS - 1] > 0
+
+
+def test_rolling_first_partition_never_self_flags(planted, pmat):
+    rows = drift_table(planted, z_threshold=0.1, iqr_k=1.5, rolling_window=3)
+    assert rows[0]["zmax"] == 0.0
+    assert rows[0]["iqr_breaches"] == 0
+
+
+def test_rolling_window_of_one_rejected():
+    with pytest.raises(ValueError):
+        DriftCheck(columns={"b": F.col("b")}, z_threshold=1.0, rolling_window=1)
+
+
+def test_rolling_violation_messages_name_trailing_baseline(planted):
+    chk = DriftCheck(
+        columns={"b": F.col("bucket_val")},
+        part_col="part",
+        ks_threshold=0.99,
+        z_threshold=1.2,
+        iqr_k=1.5,
+        rolling_window=4,
+    )
+    out = chk.run(planted)
+    msgs = {r["message"] for r in out.violations.collect()}
+    assert any("trailing 4 partitions" in m for m in msgs)
+    for d in out.cached:
+        d.unpersist()
+
+
 def pca_fixture_counts() -> np.ndarray:
     """12 parts × 8 buckets of counts: parts 0-10 vary on a 2-plane
     spanned by two orthogonal zero-sum sign patterns (what PCA should

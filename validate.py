@@ -69,6 +69,16 @@ def main(argv: list[str] | None = None) -> int:
         "histogram) instead of the KS-only default suite",
     )
     ap.add_argument(
+        "--drift-rolling",
+        type=int,
+        default=None,
+        metavar="W",
+        help="with --drift-primitives: score the z-score/IQR drift "
+        "primitives against the trailing W partitions in part order "
+        "(rolling baseline) instead of the global cross-partition "
+        "distribution — flags regime changes when they arrive",
+    )
+    ap.add_argument(
         "--violations-cap",
         type=int,
         default=None,
@@ -90,7 +100,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.drift_primitives:
         from anomaly_detection_toolkit_spark.plans.checks import extended_suite
 
-        checks = extended_suite()
+        checks = extended_suite(rolling_window=args.drift_rolling)
+    elif args.drift_rolling is not None:
+        ap.error("--drift-rolling requires --drift-primitives")
     t0 = time.perf_counter()
     if args.format == "iceberg":
         from anomaly_detection_toolkit_spark.sources.iceberg import (
