@@ -260,3 +260,21 @@ def test_extended_suite_runs_end_to_end(spark):
     metrics = {r["metric"] for r in res.metrics.collect()}
     assert {"phash.zmax", "phash.iqr_breaches", "phash.pca_recon"} <= metrics
     res.unpersist()
+
+
+def test_extended_suite_rolling_knob(spark):
+    from anomaly_detection_toolkit_spark.plans.checks import extended_suite
+
+    armed = [
+        c
+        for c in extended_suite(rolling_window=5)
+        if isinstance(c, DriftCheck)
+    ]
+    assert armed and all(c.rolling_window == 5 for c in armed)
+    assert all(
+        c.rolling_window is None
+        for c in extended_suite()
+        if isinstance(c, DriftCheck)
+    )
+    with pytest.raises(ValueError):
+        extended_suite(rolling_window=1)
