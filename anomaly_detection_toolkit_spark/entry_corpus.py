@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from anomaly_detection_toolkit_spark.entry_queries import r4, register, register_extra
-from anomaly_detection_toolkit_spark.operators import dedup, similarity, text
+from anomaly_detection_toolkit_spark.operators import curation, dedup, similarity, text
 from anomaly_detection_toolkit_spark.operators.dedup import MERSENNE31, _perm_params
 from anomaly_detection_toolkit_spark.sources.testdata import load_table
 
@@ -434,6 +434,120 @@ def dedup_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, "documents", sf_dir)
     out = dedup.minhash_lsh_pairs(df, num_perm=_NUM_PERM, bands=_BANDS, threshold=0.5)
     return out.select("id_a", "id_b", r4(F.col("est_jaccard")).alias("est_jaccard"))
+
+
+# --- incremental corpus dedup: an ingest batch (doc_id % 7 = 0)
+# probed against the persistent LSH index of the rest of the corpus —
+# the whole-corpus self-join never re-runs (the 100 TB contract: per
+# batch you pay batch signatures + an index probe, not corpus²). The
+# oracle re-derives both the batch×corpus probe and the batch×batch
+# self-join from the same signature CTE. ---
+
+_agree_ab = _agree_sql.replace("a.s", "sa.s").replace("b.s", "sb.s")
+
+_INCR_PAIRS_SQL = f"""
+    WITH {_SIG_CTE},
+    banded AS (
+      SELECT doc_id, {', '.join(f's{i}' for i in range(_NUM_PERM))},
+             unnest([{', '.join(_band_exprs)}]) AS band_key
+      FROM sig
+    ),
+    nb AS (SELECT * FROM banded WHERE doc_id % 7 = 0),
+    cb AS (SELECT * FROM banded WHERE doc_id % 7 <> 0),
+    p AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             'corpus' AS against
+      FROM nb a JOIN cb b ON a.band_key = b.band_key
+      UNION
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             'batch' AS against
+      FROM nb a JOIN nb b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           round(({_agree_ab}) / {float(_NUM_PERM)}, 4) AS est_jaccard,
+           p.against
+    FROM p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b
+    WHERE ({_agree_ab}) / {float(_NUM_PERM)} >= 0.5
+"""
+
+
+@register_extra("dedup_incremental_lsh_documents", _INCR_PAIRS_SQL)
+def dedup_incremental_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, "documents", sf_dir)
+    batch = df.filter(F.col("doc_id") % 7 == 0)
+    corpus = df.filter(F.col("doc_id") % 7 != 0)
+    index = dedup.build_lsh_index(corpus, num_perm=_NUM_PERM, bands=_BANDS)
+    out = dedup.incremental_lsh_pairs(
+        batch, index, num_perm=_NUM_PERM, bands=_BANDS, threshold=0.5
+    )
+    return out.select(
+        "id_a", "id_b", r4(F.col("est_jaccard")).alias("est_jaccard"), "against"
+    )
+
+
+# --- corpus curation: token-budget packing + stratified sampling.
+# All-integer outputs (zero rounding hazard). The packing oracle
+# re-derives the two-phase prefix sum as one global window cumsum —
+# independent plans, same layout-invariant definition. ---
+
+_PACK_BUDGET = 512
+
+_PACK_SQL = f"""
+    WITH {TOKS_CTE},
+    b AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length(norm) = 0 THEN 0 ELSE len(toks) END
+                  AS BIGINT) AS n_tokens,
+             {HASH60_SQL.format(x='CAST(doc_id AS VARCHAR)')} AS okey
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY okey, doc_id) AS BIGINT) AS cum
+      FROM b
+    )
+    SELECT doc_id, n_tokens,
+           cum - n_tokens AS start_offset,
+           (cum - n_tokens) // {_PACK_BUDGET} AS chunk_id,
+           (cum - n_tokens) % {_PACK_BUDGET} AS offset_in_chunk,
+           greatest(cum - 1, cum - n_tokens) // {_PACK_BUDGET}
+             - (cum - n_tokens) // {_PACK_BUDGET} + 1 AS n_chunks
+    FROM c
+"""
+
+
+@register_extra("corpus_pack_documents", _PACK_SQL)
+def corpus_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, "documents", sf_dir)
+    return curation.pack_documents(df, budget=_PACK_BUDGET)
+
+
+_MIX_RATES = {"en": 0.5, "de": 0.25, "zh": 0.1}
+_MIX_DEFAULT, _MIX_SALT = 0.05, "mix1"
+
+_MIX_CASE = " ".join(
+    f"WHEN '{k}' THEN {int(round(v * 1_000_000))}" for k, v in sorted(_MIX_RATES.items())
+)
+
+_STRAT_SQL = f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {HASH60_SQL.format(x=f"concat(CAST(doc_id AS VARCHAR), ':{_MIX_SALT}')")}
+          % 1000000
+          < CASE lang {_MIX_CASE} ELSE {int(round(_MIX_DEFAULT * 1_000_000))} END
+"""
+
+
+@register_extra("corpus_stratified_sample_documents", _STRAT_SQL)
+def corpus_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, "documents", sf_dir)
+    out = curation.stratified_sample(
+        df, "lang", _MIX_RATES, salt=_MIX_SALT, default_fraction=_MIX_DEFAULT
+    )
+    return out.select("doc_id", "lang", "source")
 
 
 # ---------------------------------------------------------------------------

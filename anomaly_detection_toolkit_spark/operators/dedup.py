@@ -250,30 +250,28 @@ def minhash_signatures_exploded(
     )
 
 
-def minhash_lsh_pairs(
+def build_lsh_index(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_perm: int = 16,
     bands: int = 4,
     n: int = 3,
-    threshold: float = 0.5,
 ) -> DataFrame:
-    """Near-dup candidate pairs via banded MinHash LSH, scored by
-    signature agreement (unbiased Jaccard estimate).
+    """``(id, sig: array<bigint>, band_key: string)`` — the banded
+    MinHash LSH index, one row per (doc, band).
 
-    Stages: (1) signatures — per-row projection; (2) band keys =
-    md5 of each band's slice — per-row; (3) explode bands (factor
-    `bands`, cheap) → groupBy band bucket → self-join within bucket
-    (the ONLY data-sized shuffle, on the band-hash key; hot buckets
-    = real near-dup clusters, which AQE skew-split handles);
-    (4) distinct pairs → estimated Jaccard from full signatures
-    carried on both sides.
+    This is the PERSISTENT artifact of a corpus dedup pipeline: write
+    it once (bucketed by ``band_key`` so later probes are
+    shuffle-free on the corpus side), append each ingest batch's rows,
+    and probe it with ``incremental_lsh_pairs`` — the corpus never
+    re-pairs with itself. Stages: signatures via the
+    explode+aggregate plan (codegen'd md5 — see
+    ``minhash_signatures_exploded`` for the interpreted-lambda cost it
+    avoids), band keys = md5 of each band's signature slice (per-row
+    projection), explode bands (factor ``bands``, cheap).
     """
     rows_per_band = num_perm // bands
-    # signatures via the explode+aggregate plan (codegen'd md5 — see
-    # minhash_signatures_exploded docstring for the interpreted-lambda
-    # cost it avoids)
     sig_df = minhash_signatures_exploded(df, text_col, id_col, num_perm, n)
     with_sig = sig_df.select(
         "id", F.array(*[F.col(f"s{i}") for i in range(num_perm)]).alias("sig")
@@ -293,9 +291,46 @@ def minhash_lsh_pairs(
             for bi in range(bands)
         ]
     )
+    return with_sig.withColumn("band_key", F.explode(band_arr))
+
+
+def _estimated_jaccard_pairs(pairs: DataFrame, num_perm: int, threshold: float) -> DataFrame:
+    """Signature-agreement score + threshold over a candidate-pair
+    frame carrying ``sig_a``/``sig_b``."""
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        pairs.withColumn("est_jaccard", agree / F.lit(float(num_perm)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH, scored by
+    signature agreement (unbiased Jaccard estimate).
+
+    Stages: (1-3) the banded index (``build_lsh_index``) → self-join
+    within band bucket (the ONLY data-sized shuffle, on the band-hash
+    key; hot buckets = real near-dup clusters, which AQE skew-split
+    handles); (4) distinct pairs → estimated Jaccard from full
+    signatures carried on both sides.
+    """
     # persisted: the self-join references the banded table twice and
     # would otherwise run the signature aggregation once per side
-    banded = with_sig.withColumn("band_key", F.explode(band_arr)).persist()
+    banded = build_lsh_index(df, text_col, id_col, num_perm, bands, n).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -311,17 +346,75 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
+    return _estimated_jaccard_pairs(pairs, num_perm, threshold)
+
+
+def incremental_lsh_pairs(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup an ingest BATCH against an existing corpus without
+    re-pairing the corpus with itself.
+
+    ``index_df`` is a previously built ``build_lsh_index`` output
+    (read back from its bucketed table); ``new_df`` is the raw new
+    batch (ids assumed disjoint from the corpus — enforce upstream
+    with the exact-dup fingerprint check). Emits
+    ``(id_a, id_b, est_jaccard, against)`` where ``id_a`` is always a
+    batch doc and ``against`` says whether ``id_b`` came from the
+    ``'corpus'`` or the same ``'batch'``.
+
+    Scale story: the whole-corpus N² band self-join NEVER re-runs —
+    per batch the work is (batch signatures: map-side only) + (probe
+    equi-join on ``band_key``: if the index table is bucketed by
+    ``band_key`` the corpus side is read pre-partitioned with no
+    shuffle, and with a small batch AQE broadcasts the batch side) +
+    (batch×batch self-join: quadratic only in the batch). Appending
+    the batch's index rows afterwards keeps the next probe valid.
+    """
+    new_banded = build_lsh_index(new_df, text_col, id_col, num_perm, bands, n).persist()
+    a = new_banded.alias("a")
+    # batch × corpus: sides are disjoint, so no id-order constraint
+    idx = index_df.alias("b")
+    vs_corpus = (
+        a.join(idx, F.col("a.band_key") == F.col("b.band_key"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # batch × batch: the usual ordered self-join
+    b2 = new_banded.alias("b")
+    vs_batch = (
+        a.join(
+            b2,
+            (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    out = _estimated_jaccard_pairs(vs_corpus, num_perm, threshold).withColumn(
+        "against", F.lit("corpus")
+    ).unionByName(
+        _estimated_jaccard_pairs(vs_batch, num_perm, threshold).withColumn(
+            "against", F.lit("batch")
         )
     )
-    return (
-        pairs.withColumn("est_jaccard", agree / F.lit(float(num_perm)))
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
-    )
+    return out
 
 
 # ---------------------------------------------------------------------------

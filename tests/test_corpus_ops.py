@@ -8,7 +8,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from anomaly_detection_toolkit_spark.operators import dedup, similarity, text
+from anomaly_detection_toolkit_spark.operators import curation, dedup, similarity, text
 
 DOCS = [
     # (doc_id, text) — 0/1 identical, 2 near-dup of 0, 3/4 distinct
@@ -71,6 +71,34 @@ def test_minhash_lsh_pairs_detects_dups(docs_df):
     got = {(r.id_a, r.id_b): r.est_jaccard for r in pairs}
     assert got[(0, 1)] == 1.0
     assert (0, 3) not in got
+
+
+def test_incremental_lsh_matches_full_run(docs_df):
+    """batch-vs-index probe + batch self-join + corpus self-join must
+    reconstruct exactly the pair set of the one-shot full run."""
+    batch_ids = {1, 2}
+    batch = docs_df.filter(F.col("doc_id").isin(list(batch_ids)))
+    corpus = docs_df.filter(~F.col("doc_id").isin(list(batch_ids)))
+    index = dedup.build_lsh_index(corpus)
+    incr = dedup.incremental_lsh_pairs(batch, index, threshold=0.5).collect()
+    # labels: id_a always from the batch; 'corpus' rows point outside it
+    for r in incr:
+        assert r.id_a in batch_ids
+        assert (r.id_b in batch_ids) == (r.against == "batch")
+    corpus_self = dedup.minhash_lsh_pairs(corpus, threshold=0.5).collect()
+    full = dedup.minhash_lsh_pairs(docs_df, threshold=0.5).collect()
+    norm = lambda rows: {(frozenset((r.id_a, r.id_b)), r.est_jaccard) for r in rows}
+    assert norm(incr) | norm(corpus_self) == norm(full)
+    # the known near-dup cluster straddles the split: 0 in corpus, 1/2 in batch
+    got = {(r.id_a, r.id_b): r.against for r in incr}
+    assert got[(1, 0)] == "corpus"
+    assert got[(1, 2)] == "batch" or got[(2, 1)] == "batch"
+
+
+def test_incremental_lsh_empty_batch(docs_df):
+    empty = docs_df.filter(F.lit(False))
+    index = dedup.build_lsh_index(docs_df)
+    assert dedup.incremental_lsh_pairs(empty, index).count() == 0
 
 
 def test_simhash_hamming(docs_df):
@@ -193,6 +221,77 @@ def test_winnowing_short_and_empty(spark):
     df = spark.createDataFrame([(0, "tiny"), (1, "")], "doc_id long, text string")
     out = text.winnow_fingerprints(df, k=8, w=4).collect()
     assert out == []  # both below k chars → no fingerprints, no crash
+
+
+def test_pack_documents_layout_stream(spark):
+    """Packing must lay the docs out as ONE contiguous token stream in
+    (hash60(id), id) order, with chunk fields derived exactly."""
+    docs = [(i, " ".join(f"w{j}" for j in range(3 + 5 * (i % 4)))) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = curation.pack_documents(df, budget=7, n_buckets=4).collect()
+    rows = sorted(out, key=lambda r: r.start_offset)
+    # contiguity: each doc starts where the previous ended
+    pos = 0
+    for r in rows:
+        assert r.start_offset == pos
+        assert r.chunk_id == pos // 7
+        assert r.offset_in_chunk == pos % 7
+        last = max(pos + r.n_tokens - 1, pos)
+        assert r.n_chunks == last // 7 - pos // 7 + 1
+        pos += r.n_tokens
+    # the order is the deterministic hash order, not ingestion order
+    hashed = df.select(
+        "doc_id", text.hash60(F.col("doc_id").cast("string")).alias("h")
+    ).collect()
+    expect = [r.doc_id for r in sorted(hashed, key=lambda r: (r.h, r.doc_id))]
+    assert [r.doc_id for r in rows] == expect
+
+
+def test_pack_documents_layout_independent(spark):
+    docs = [(i, "a b c d e f g"[: 3 + 2 * (i % 5)]) for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = {r.doc_id: r for r in curation.pack_documents(df, budget=5).collect()}
+    b = {
+        r.doc_id: r
+        for r in curation.pack_documents(
+            df.repartition(7), budget=5, n_buckets=2
+        ).collect()
+    }
+    assert a == b
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    rows = [(i, "en" if i % 3 else "de") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = curation.stratified_sample(df, "lang", {"en": 0.5, "de": 0.0}, salt="t")
+    ids = {r.doc_id for r in kept.collect()}
+    # zero-rate stratum fully dropped; nonzero near its rate
+    assert all(i % 3 for i in ids)
+    assert 0.4 < len(ids) / 2000 < 0.6
+    # layout-independent and rerun-stable (same hash, same set)
+    ids2 = {
+        r.doc_id
+        for r in curation.stratified_sample(
+            df.repartition(11), "lang", {"en": 0.5, "de": 0.0}, salt="t"
+        ).collect()
+    }
+    assert ids == ids2
+    # a different salt draws an (almost surely) different set
+    ids3 = {
+        r.doc_id
+        for r in curation.stratified_sample(
+            df, "lang", {"en": 0.5, "de": 0.0}, salt="u"
+        ).collect()
+    }
+    assert ids != ids3
+
+
+def test_stratified_sample_rejects_bad_fraction(spark):
+    df = spark.range(1).withColumnRenamed("id", "doc_id").withColumn("lang", F.lit("en"))
+    with pytest.raises(ValueError):
+        curation.stratified_sample(df, "lang", {"en": 1.5})
+    with pytest.raises(ValueError):
+        curation.pack_documents(df.withColumn("text", F.lit("a")), budget=0)
 
 
 def test_connected_components_resolves_clusters(spark):
