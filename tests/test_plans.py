@@ -61,6 +61,30 @@ def test_column_stats_prunes_scan(spark):
         assert "image_id" not in plan
 
 
+def test_stratified_sample_is_pushed_down_filter(spark):
+    from anomaly_detection_toolkit_spark.operators import curation
+
+    df = load_table(spark, "documents", SF_DIR)
+    plan = plan_of(curation.stratified_sample(df, "lang", {"en": 0.5}, salt="t"))
+    # pure map-side: no shuffle anywhere, filter inside codegen
+    assert "Exchange" not in plan
+    assert "*(1) Filter" in plan  # codegen'd, directly over the scan
+
+
+def test_pack_documents_never_sorts_globally(spark):
+    from anomaly_detection_toolkit_spark.operators import curation
+
+    df = load_table(spark, "documents", SF_DIR)
+    plan = plan_of(curation.pack_documents(df, budget=128, n_buckets=8))
+    # the prefix sum must be bucketed windows + a broadcast offset
+    # join — a single-partition global window would serialize 10^12
+    # rows through one task
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan  # bucket is data-derived
+    assert "BroadcastHashJoin" in plan  # per-bucket offsets
+    assert plan.count("Window") >= 1 and "bucket" in plan
+
+
 def test_filter_pushdown_reaches_parquet(spark):
     df = load_table(spark, "events", SF_DIR).filter(F.col("event_type") == "click")
     plan = plan_of(df.select("event_id"))
