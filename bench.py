@@ -120,6 +120,20 @@ def main() -> None:
     _noop_write(salted_sorted_dedup(skewed, ["k"], ["o"], n_salts=16))
     timings["salted_dedup_skewed_2m"] = round(time.perf_counter() - t0, 3)
 
+    # token-packing prefix scan at 2M docs: times the two-phase
+    # parallel prefix sum (bucketed windows + broadcast offsets) that
+    # replaces a single-reducer global window; token counts are
+    # precomputed so the scan itself is what's measured
+    from anomaly_detection_toolkit_spark.operators import curation
+
+    docs2m = spark.range(0, 2_000_000, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(997)) + 1).alias("ntok"),
+    )
+    t0 = time.perf_counter()
+    _noop_write(curation.pack_documents(docs2m, budget=2048, token_col="ntok"))
+    timings["pack_prefix_scan_2m"] = round(time.perf_counter() - t0, 3)
+
     from anomaly_detection_toolkit_spark import entry_queries
 
     # untimed warm-up so per-query numbers measure steady state, not
