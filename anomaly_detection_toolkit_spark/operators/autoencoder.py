@@ -230,6 +230,207 @@ class NumpyDenseAutoencoder:
         return self._forward(np.asarray(x, dtype=np.float64))[-1]
 
 
+def _sigmoid(z: np.ndarray) -> np.ndarray:
+    """σ over preactivations clipped to ±60 — the clip makes the
+    forward pass exactly reproducible in the DuckDB scoring oracle
+    (same `greatest(least(z,60),-60)` expression; exp never
+    overflows on either engine)."""
+    return 1.0 / (1.0 + np.exp(-np.clip(z, -60.0, 60.0)))
+
+
+class _LSTMLayer:
+    """One LSTM layer (Keras cell semantics: gate order i,f,g,o;
+    recurrent activation sigmoid; cell/output activation relu — the
+    reference passes ``activation="relu"``, ``autoencoders.py:119``;
+    ``unit_forget_bias`` → forget bias init 1)."""
+
+    def __init__(self, d_in: int, units: int, rng: np.random.Generator) -> None:
+        self.d_in, self.units = int(d_in), int(units)
+        lim = np.sqrt(6.0 / (d_in + 4 * units))
+        self.wx = rng.uniform(-lim, lim, (d_in, 4 * units))
+        # orthogonal recurrent kernel (Keras default): QR of a seeded
+        # normal, sign-fixed so the factorization is unique
+        a = rng.standard_normal((4 * units, units))
+        q, r = np.linalg.qr(a)
+        q = q * np.sign(np.diag(r))
+        self.uh = q.T  # (units, 4*units)
+        self.b = np.zeros(4 * units)
+        self.b[units : 2 * units] = 1.0
+
+    def params(self) -> list[np.ndarray]:
+        return [self.wx, self.uh, self.b]
+
+    def forward(self, xs: np.ndarray) -> tuple[np.ndarray, list]:
+        """xs (n, W, d_in) → hs (n, W, units), plus the BPTT cache."""
+        n, steps, _ = xs.shape
+        u = self.units
+        h = np.zeros((n, u))
+        c = np.zeros((n, u))
+        hs = np.zeros((n, steps, u))
+        cache = []
+        for t in range(steps):
+            x_t = xs[:, t, :]
+            z = x_t @ self.wx + h @ self.uh + self.b
+            i = _sigmoid(z[:, :u])
+            f = _sigmoid(z[:, u : 2 * u])
+            g = np.maximum(z[:, 2 * u : 3 * u], 0.0)
+            o = _sigmoid(z[:, 3 * u :])
+            c_prev, h_prev = c, h
+            c = f * c_prev + i * g
+            a = np.maximum(c, 0.0)
+            h = o * a
+            hs[:, t, :] = h
+            cache.append((x_t, h_prev, c_prev, i, f, g, o, c, a))
+        return hs, cache
+
+    def backward(
+        self, dhs: np.ndarray, cache: list
+    ) -> tuple[np.ndarray, list[np.ndarray]]:
+        """dhs (n, W, units) → dxs (n, W, d_in), grads [dWx, dUh, db]."""
+        n, steps, u = dhs.shape
+        dwx = np.zeros_like(self.wx)
+        duh = np.zeros_like(self.uh)
+        db = np.zeros_like(self.b)
+        dxs = np.zeros((n, steps, self.d_in))
+        dh_rec = np.zeros((n, u))
+        dc_rec = np.zeros((n, u))
+        for t in range(steps - 1, -1, -1):
+            x_t, h_prev, c_prev, i, f, g, o, c, a = cache[t]
+            dh = dhs[:, t, :] + dh_rec
+            do = dh * a
+            dc = dc_rec + dh * o * (c > 0)
+            di = dc * g
+            df = dc * c_prev
+            dg = dc * i
+            dz = np.concatenate(
+                [
+                    di * i * (1 - i),
+                    df * f * (1 - f),
+                    dg * (g > 0),
+                    do * o * (1 - o),
+                ],
+                axis=1,
+            )
+            dwx += x_t.T @ dz
+            duh += h_prev.T @ dz
+            db += dz.sum(axis=0)
+            dxs[:, t, :] = dz @ self.wx.T
+            dh_rec = dz @ self.uh.T
+            dc_rec = dc * f
+        return dxs, [dwx, duh, db]
+
+
+class NumpyLSTMAutoencoder:
+    """The reference's op-30 LSTM autoencoder architecture
+    (``autoencoders.py:110-133``: LSTM(u0, relu, seq) → LSTM(u1,
+    relu, last) → RepeatVector(W) → LSTM(u1, relu, seq) → LSTM(u0,
+    relu, seq) → TimeDistributed(Dense(1))) trained with Adam on MSE
+    — from scratch in numpy, full BPTT, deterministic end to end
+    (seeded init + epoch shuffles, fixed epochs, no early stop) so
+    the driver-gate oracle can replay training bit-for-bit outside
+    Spark and verify the distributed scoring path in SQL.
+
+    Same plug-in interface as ``NumpyDenseAutoencoder``:
+    ``fit(windows (n, w))`` / ``reconstruct(windows) -> (n, w)``."""
+
+    def __init__(
+        self,
+        window_size: int,
+        units: tuple[int, int] = (32, 16),
+        lr: float = 1e-3,
+        epochs: int = 50,
+        batch_size: int = 32,
+        seed: int = 42,
+    ) -> None:
+        self.w = int(window_size)
+        self.units = (int(units[0]), int(units[1]))
+        self.lr = float(lr)
+        self.epochs = int(epochs)
+        self.batch_size = int(batch_size)
+        self.seed = int(seed)
+        self.layers: list[_LSTMLayer] = []
+        self.wd: np.ndarray | None = None
+        self.bd: np.ndarray | None = None
+
+    def _init_params(self, rng: np.random.Generator) -> None:
+        u0, u1 = self.units
+        self.layers = [
+            _LSTMLayer(1, u0, rng),
+            _LSTMLayer(u0, u1, rng),
+            _LSTMLayer(u1, u1, rng),
+            _LSTMLayer(u1, u0, rng),
+        ]
+        lim = np.sqrt(6.0 / (u0 + 1))
+        self.wd = rng.uniform(-lim, lim, (u0, 1))
+        self.bd = np.zeros(1)
+
+    def _params(self) -> list[np.ndarray]:
+        ps: list[np.ndarray] = []
+        for layer in self.layers:
+            ps.extend(layer.params())
+        ps.extend([self.wd, self.bd])
+        return ps
+
+    def _forward(self, xb: np.ndarray) -> tuple[np.ndarray, tuple]:
+        n, w = xb.shape
+        u1 = self.units[1]
+        h1, c1 = self.layers[0].forward(xb[:, :, None])
+        h2, c2 = self.layers[1].forward(h1)
+        latent = h2[:, -1, :]
+        rep = np.repeat(latent[:, None, :], w, axis=1)
+        h3, c3 = self.layers[2].forward(rep)
+        h4, c4 = self.layers[3].forward(h3)
+        out = (h4 @ self.wd + self.bd)[:, :, 0]
+        return out, (c1, c2, c3, c4, h4, n, w, u1)
+
+    def _backward(self, dout: np.ndarray, ctx: tuple) -> list[np.ndarray]:
+        c1, c2, c3, c4, h4, n, w, u1 = ctx
+        dwd = np.einsum("nwu,nw->u", h4, dout)[:, None]
+        dbd = np.array([dout.sum()])
+        dh4 = dout[:, :, None] * self.wd[None, None, :, 0]
+        dh3, g4 = self.layers[3].backward(dh4, c4)
+        drep, g3 = self.layers[2].backward(dh3, c3)
+        dlatent = drep.sum(axis=1)
+        dh2 = np.zeros((n, w, u1))
+        dh2[:, -1, :] = dlatent
+        dh1, g2 = self.layers[1].backward(dh2, c2)
+        _, g1 = self.layers[0].backward(dh1, c1)
+        return g1 + g2 + g3 + g4 + [dwd, dbd]
+
+    def fit(self, x: np.ndarray) -> "NumpyLSTMAutoencoder":
+        rng = np.random.default_rng(self.seed)
+        self._init_params(rng)
+        params = self._params()
+        m = [np.zeros_like(p) for p in params]
+        v = [np.zeros_like(p) for p in params]
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        t = 0
+        n = len(x)
+        for _ in range(self.epochs):
+            perm = rng.permutation(n)
+            for s in range(0, n, self.batch_size):
+                xb = x[perm[s : s + self.batch_size]]
+                out, ctx = self._forward(xb)
+                dout = 2.0 * (out - xb) / out.size
+                grads = self._backward(dout, ctx)
+                t += 1
+                for p, gr, mm, vv in zip(params, grads, m, v):
+                    mm *= b1
+                    mm += (1 - b1) * gr
+                    vv *= b2
+                    vv += (1 - b2) * gr * gr
+                    p -= (
+                        self.lr
+                        * (mm / (1 - b1**t))
+                        / (np.sqrt(vv / (1 - b2**t)) + eps)
+                    )
+        return self
+
+    def reconstruct(self, x: np.ndarray) -> np.ndarray:
+        out, _ = self._forward(np.asarray(x, dtype=np.float64))
+        return out
+
+
 def sample_training_windows(
     per_series_scaled: list[np.ndarray],
     window_size: int,
@@ -256,6 +457,55 @@ def sample_training_windows(
     return allw
 
 
+def _scaled_sample_windows(
+    pdf: pd.DataFrame,
+    scale: dict[str, tuple[float, float]],
+    window_size: int,
+    max_fit_windows: int,
+) -> np.ndarray:
+    """Shared sample → scaled → windowed → trimmed path of both
+    ``train_from_sample`` and ``train_lstm_from_sample``."""
+    scaled = []
+    for sid, grp in pdf.groupby("sid", sort=True):
+        x = grp["val"].to_numpy(dtype=np.float64)
+        mn, mx = scale.get(str(sid), (float(x.min()), float(x.max())))
+        rng = mx - mn
+        xs = (x - mn) / rng if rng != 0.0 else np.zeros_like(x)
+        scaled.append(xs)
+    wins = sample_training_windows(scaled, window_size, max_fit_windows)
+    if len(wins) == 0:
+        raise ValueError(
+            f"no training windows: every sampled series is shorter than "
+            f"window_size={window_size}"
+        )
+    return wins
+
+
+def train_lstm_from_sample(
+    pdf: pd.DataFrame,
+    scale: dict[str, tuple[float, float]],
+    window_size: int,
+    units: tuple[int, int],
+    lr: float,
+    epochs: int,
+    batch_size: int,
+    seed: int,
+    max_fit_windows: int,
+) -> NumpyLSTMAutoencoder:
+    """LSTM twin of ``train_from_sample`` — same deterministic
+    collected-sample contract, shared verbatim by ``fit_lstm`` and
+    the driver-gate oracle."""
+    wins = _scaled_sample_windows(pdf, scale, window_size, max_fit_windows)
+    return NumpyLSTMAutoencoder(
+        window_size,
+        units=units,
+        lr=lr,
+        epochs=epochs,
+        batch_size=batch_size,
+        seed=seed,
+    ).fit(wins)
+
+
 def train_from_sample(
     pdf: pd.DataFrame,
     scale: dict[str, tuple[float, float]],
@@ -274,19 +524,7 @@ def train_from_sample(
     (order within each series preserved), scaled with the supplied
     per-series (min, max), windowed, middle-80%-trimmed, stride-cut,
     then fed to the seeded Adam loop."""
-    scaled = []
-    for sid, grp in pdf.groupby("sid", sort=True):
-        x = grp["val"].to_numpy(dtype=np.float64)
-        mn, mx = scale.get(str(sid), (float(x.min()), float(x.max())))
-        rng = mx - mn
-        xs = (x - mn) / rng if rng != 0.0 else np.zeros_like(x)
-        scaled.append(xs)
-    wins = sample_training_windows(scaled, window_size, max_fit_windows)
-    if len(wins) == 0:
-        raise ValueError(
-            f"no training windows: every sampled series is shorter than "
-            f"window_size={window_size}"
-        )
+    wins = _scaled_sample_windows(pdf, scale, window_size, max_fit_windows)
     return NumpyDenseAutoencoder(
         window_size,
         hidden_dims=hidden_dims,
@@ -379,32 +617,9 @@ class WindowedAutoencoderDetector:
         reference's PyTorch loop in numpy: Adam on MSE, seeded
         shuffles, fixed epochs. The trained weights (a few KB) ride
         to executors in the factory closure."""
-        from pyspark.sql import functions as F
-
         self.fit(df, series_col, value_col)
-        prio = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ",", F.lit(str(seed)), F.col(series_col).cast("string")
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        pdf = (
-            df.select(
-                F.col(series_col).cast("string").alias("sid"),
-                F.col(value_col).cast("double").alias("val"),
-                prio.alias("_p"),
-                F.col(order_col).alias("_o"),
-            )
-            .orderBy("_p", "_o", "val")
-            .limit(max_fit_rows)
-            .toPandas()
+        pdf = self._collect_sample_pdf(
+            df, series_col, order_col, value_col, seed, max_fit_rows
         )
         ae = train_from_sample(
             pdf,
@@ -420,6 +635,85 @@ class WindowedAutoencoderDetector:
         self.ae_ = ae
         self.model_factory = lambda: ae.reconstruct
         return self
+
+    def fit_lstm(
+        self,
+        df: DataFrame,
+        series_col: str,
+        order_col: str,
+        value_col: str,
+        units: tuple[int, int] = (32, 16),
+        lr: float = 1e-3,
+        epochs: int = 50,
+        batch_size: int = 32,
+        seed: int = 42,
+        max_fit_rows: int = 1_000_000,
+        max_fit_windows: int = 20_000,
+    ) -> "WindowedAutoencoderDetector":
+        """Fit scalers AND train the reference's actual op-30
+        architecture — ``NumpyLSTMAutoencoder`` (stacked LSTM
+        encoder/decoder, relu cells, Adam/MSE; reference defaults
+        ``autoencoders.py:66-92``: units (32,16), epochs 50, batch
+        32) — on the same engine-stable driver-side sample as
+        ``fit_dense``. Training cost is driver-side and bounded by
+        ``max_fit_windows``; scoring ships the few-KB weights in the
+        factory closure and runs Arrow-batched per series."""
+        self.fit(df, series_col, value_col)
+        pdf = self._collect_sample_pdf(
+            df, series_col, order_col, value_col, seed, max_fit_rows
+        )
+        ae = train_lstm_from_sample(
+            pdf,
+            self.scale_,
+            self.window_size,
+            units,
+            lr,
+            epochs,
+            batch_size,
+            seed,
+            max_fit_windows,
+        )
+        self.ae_ = ae
+        self.model_factory = lambda: ae.reconstruct
+        return self
+
+    @staticmethod
+    def _collect_sample_pdf(
+        df: DataFrame,
+        series_col: str,
+        order_col: str,
+        value_col: str,
+        seed: int,
+        max_fit_rows: int,
+    ) -> pd.DataFrame:
+        """The engine-stable training sample both trainers share (see
+        ``fit_dense`` docstring for the ordering contract)."""
+        from pyspark.sql import functions as F
+
+        prio = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ",", F.lit(str(seed)), F.col(series_col).cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return (
+            df.select(
+                F.col(series_col).cast("string").alias("sid"),
+                F.col(value_col).cast("double").alias("val"),
+                prio.alias("_p"),
+                F.col(order_col).alias("_o"),
+            )
+            .orderBy("_p", "_o", "val")
+            .limit(max_fit_rows)
+            .toPandas()
+        )
 
     def _scale(self, sid: str, x: np.ndarray) -> np.ndarray:
         mn, mx = self.scale_.get(sid, (float(np.min(x)), float(np.max(x))))

@@ -178,3 +178,82 @@ def test_train_from_sample_matches_fit_dense_weights(spark):
     )
     for w1, w2 in zip(det.ae_.weights, replay.weights):
         np.testing.assert_array_equal(w1, w2)
+
+
+def test_lstm_bptt_matches_numerical_gradient():
+    """Full-network gradient check: analytic BPTT through the stacked
+    LSTM encoder/decoder + RepeatVector + TimeDistributed Dense must
+    match central differences to ~1e-6."""
+    rng = np.random.default_rng(0)
+    net = ae.NumpyLSTMAutoencoder(window_size=5, units=(3, 2), seed=7)
+    net._init_params(np.random.default_rng(7))
+    x = rng.uniform(0, 1, (4, 5))
+
+    def loss():
+        out, _ = net._forward(x)
+        return float(np.mean((out - x) ** 2))
+
+    out, ctx = net._forward(x)
+    grads = net._backward(2.0 * (out - x) / out.size, ctx)
+    params = net._params()
+    eps = 1e-6
+    for pi, p in enumerate(params):
+        it = np.nditer(p, flags=["multi_index"])
+        for _ in range(min(p.size, 6)):
+            idx = it.multi_index
+            orig = p[idx]
+            p[idx] = orig + eps
+            lp = loss()
+            p[idx] = orig - eps
+            lm = loss()
+            p[idx] = orig
+            num = (lp - lm) / (2 * eps)
+            ana = grads[pi][idx]
+            assert abs(num - ana) <= 1e-6 * max(1.0, abs(num)), (pi, idx)
+            it.iternext()
+
+
+def test_lstm_ae_training_is_deterministic_and_learns():
+    rng = np.random.default_rng(1)
+    t = np.arange(200)
+    wins = ae.make_windows(0.5 + 0.4 * np.sin(t * 0.3), 8)
+    net = ae.NumpyLSTMAutoencoder(8, units=(6, 3), lr=5e-3, epochs=25, batch_size=32, seed=5)
+    l0_net = ae.NumpyLSTMAutoencoder(8, units=(6, 3), seed=5)
+    l0_net._init_params(np.random.default_rng(5))
+    l0 = float(np.mean((l0_net.reconstruct(wins) - wins) ** 2))
+    net.fit(wins)
+    l1 = float(np.mean((net.reconstruct(wins) - wins) ** 2))
+    assert l1 < l0 * 0.5  # training reduced MSE substantially
+    net2 = ae.NumpyLSTMAutoencoder(8, units=(6, 3), lr=5e-3, epochs=25, batch_size=32, seed=5).fit(wins)
+    np.testing.assert_array_equal(net.reconstruct(wins), net2.reconstruct(wins))
+
+
+def test_fit_lstm_matches_train_lstm_from_sample(spark):
+    """Same oracle-replay contract as fit_dense, for the LSTM twin."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for sid in ("a", "b"):
+        for i in range(80):
+            rows.append((sid, float(i), float(np.sin(i * 0.25) + rng.normal(0, 0.01))))
+    df = spark.createDataFrame(rows, "sid string, o double, v double")
+    det = ae.WindowedAutoencoderDetector(window_size=6).fit_lstm(
+        df, "sid", "o", "v", units=(3, 2), epochs=3, seed=4
+    )
+    import hashlib
+
+    def prio(sid):
+        return int(hashlib.md5(f"4,{sid}".encode()).hexdigest()[:15], 16)
+
+    ordered = sorted(rows, key=lambda r: (prio(r[0]), r[1]))
+    pdf = pd.DataFrame(ordered, columns=["sid", "o", "val"])
+    replay = ae.train_lstm_from_sample(
+        pdf, det.scale_, 6, (3, 2), 1e-3, 3, 32, 4, 20_000
+    )
+    np.testing.assert_array_equal(det.ae_.wd, replay.wd)
+    for l1, l2 in zip(det.ae_.layers, replay.layers):
+        np.testing.assert_array_equal(l1.wx, l2.wx)
+        np.testing.assert_array_equal(l1.uh, l2.uh)
+        np.testing.assert_array_equal(l1.b, l2.b)
+    # and the distributed transform scores with the installed model
+    out = det.transform(df, "sid", "o", "v")
+    assert out.filter("score > 0").count() > 0
