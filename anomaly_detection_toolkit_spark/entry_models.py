@@ -12,7 +12,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from anomaly_detection_toolkit_spark.entry_queries import r4, register
+from anomaly_detection_toolkit_spark.entry_queries import r4, register, register_extra
 from anomaly_detection_toolkit_spark.operators import pm, similarity
 from anomaly_detection_toolkit_spark.operators.lof import approx_lof
 from anomaly_detection_toolkit_spark.sources.testdata import load_table
@@ -707,6 +707,220 @@ def autoencoder_dense_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=_AE_SEED,
         max_fit_rows=_AE_MAXROWS,
         max_fit_windows=_AE_MAXWIN,
+    )
+    out = det.transform(e, "sid", "rn", "value")
+    return out.select("sid", "rn", r4(F.col("score")).alias("score"), "verdict")
+
+
+# --- op-30: the reference's ACTUAL LSTM autoencoder architecture
+# (stacked LSTM encoder/decoder, autoencoders.py:110-133) in numpy,
+# under a hash gate. Same replay contract as the dense pair: the
+# lazy oracle re-collects the identical engine-stable sample from
+# DuckDB and re-trains via train_lstm_from_sample (only the seeded
+# Adam/BPTT loop is shared), then re-derives the whole distributed
+# scoring pass IN SQL: the 4-layer LSTM recurrence unrolled over the
+# window's steps as lateral-aliased gate expressions with literal
+# weights (sigmoid gates clipped at ±60 on both engines), latent
+# repeat, TimeDistributed dense, mean-abs score, per-series mean+kσ
+# threshold, ±1 verdict, pad. ---
+
+_LAE_W, _LAE_K = 8, 3.0
+_LAE_UNITS = (4, 2)
+_LAE_LR, _LAE_EPOCHS, _LAE_BATCH, _LAE_SEED = 1e-3, 4, 64, 43
+_LAE_MAXROWS, _LAE_MAXWIN = 200_000, 512
+
+
+def _lstm_layer_ctes(
+    prefix: str, layer, xin_per_t: list[list[str]], prev_cte: str
+) -> tuple[list[str], list[list[str]], str]:
+    """Unrolled-recurrence SQL for one LSTM layer as CHAINED CTEs —
+    two per step (gates, then cell/hidden). Each alias only
+    references real columns of the previous CTE (plus one
+    lateral-alias hop for h = o·relu(c)); a single flat SELECT of
+    lateral aliases is NOT usable here because DuckDB inlines lateral
+    aliases by substitution, and a 4-layer × W-step recurrence
+    expands exponentially under substitution (measured: planner
+    hang). Returns (cte defs, h column names per t, last cte)."""
+    u = layer.units
+    ctes: list[str] = []
+    h_per_t: list[list[str]] = []
+    prev = prev_cte
+    for t, xin in enumerate(xin_per_t):
+        gate_exprs = []
+        for k in range(u):
+            for q, gname in enumerate("ifgo"):
+                col = q * u + k
+                terms = [f"{xc}*{float(layer.wx[d, col])!r}" for d, xc in enumerate(xin)]
+                if t > 0:
+                    terms += [
+                        f"{prefix}t{t - 1}h{j}*{float(layer.uh[j, col])!r}"
+                        for j in range(u)
+                    ]
+                z = " + ".join(terms) + f" + {float(layer.b[col])!r}"
+                if gname == "g":
+                    expr = f"greatest({z}, 0.0)"
+                else:
+                    expr = f"1.0/(1.0 + exp(-greatest(least({z}, 60.0), -60.0)))"
+                gate_exprs.append(f"{expr} AS {prefix}t{t}{gname}{k}")
+        gcte = f"{prefix}g{t}"
+        ctes.append(f"{gcte} AS (SELECT *, {', '.join(gate_exprs)} FROM {prev})")
+        state_exprs = []
+        for k in range(u):
+            ig = f"{prefix}t{t}i{k}*{prefix}t{t}g{k}"
+            c = ig if t == 0 else f"{prefix}t{t}f{k}*{prefix}t{t - 1}c{k} + {ig}"
+            state_exprs.append(f"{c} AS {prefix}t{t}c{k}")
+        for k in range(u):
+            state_exprs.append(
+                f"{prefix}t{t}o{k}*greatest({prefix}t{t}c{k}, 0.0) AS {prefix}t{t}h{k}"
+            )
+        scte = f"{prefix}s{t}"
+        ctes.append(f"{scte} AS (SELECT *, {', '.join(state_exprs)} FROM {gcte})")
+        prev = scte
+        h_per_t.append([f"{prefix}t{t}h{k}" for k in range(u)])
+    return ctes, h_per_t, prev
+
+
+def _lstm_ae_oracle_sql() -> str:
+    """Lazy oracle for ``autoencoder_lstm_events`` (see block comment
+    above; resolved after the Spark side runs)."""
+    import duckdb
+
+    from anomaly_detection_toolkit_spark.operators.autoencoder import (
+        train_lstm_from_sample,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"""
+        WITH e AS (
+          SELECT event_type AS sid, CAST(value AS DOUBLE) AS val,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY epoch(ts), event_id) AS rn
+          FROM '{sf_dir}/events.parquet'
+        )
+        SELECT sid, val FROM e
+        ORDER BY CAST('0x' || substring(
+                   md5('{_LAE_SEED}' || ',' || sid), 1, 15) AS BIGINT), rn
+        LIMIT {_LAE_MAXROWS}
+        """
+    ).df()
+    scale = {
+        str(sid): (float(mn), float(mx))
+        for sid, mn, mx in con.execute(
+            f"""
+            SELECT event_type, min(CAST(value AS DOUBLE)),
+                   max(CAST(value AS DOUBLE))
+            FROM '{sf_dir}/events.parquet' GROUP BY 1
+            """
+        ).fetchall()
+    }
+    con.close()
+    ae = train_lstm_from_sample(
+        pdf, scale, _LAE_W, _LAE_UNITS, _LAE_LR, _LAE_EPOCHS, _LAE_BATCH,
+        _LAE_SEED, _LAE_MAXWIN,
+    )
+
+    w = _LAE_W
+    x_cols = [f"x{t}" for t in range(w)]
+    ctes: list[str] = []
+    e1, h1, last = _lstm_layer_ctes("la", ae.layers[0], [[c] for c in x_cols], "win")
+    ctes += e1
+    e2, h2, last = _lstm_layer_ctes("lb", ae.layers[1], h1, last)
+    ctes += e2
+    latent = h2[-1]  # RepeatVector: decoder sees the last hidden at every step
+    e3, h3, last = _lstm_layer_ctes("lc", ae.layers[2], [latent] * w, last)
+    ctes += e3
+    e4, h4, last = _lstm_layer_ctes("ld", ae.layers[3], h3, last)
+    ctes += e4
+    out_exprs = []
+    for t in range(w):
+        terms = " + ".join(
+            f"{h4[t][k]}*{float(ae.wd[k, 0])!r}" for k in range(ae.units[0])
+        )
+        out_exprs.append(f"{terms} + {float(ae.bd[0])!r} AS out{t}")
+    ctes.append(f"dout AS (SELECT *, {', '.join(out_exprs)} FROM {last})")
+    score = " + ".join(f"abs(x{t} - out{t})" for t in range(w))
+    lags = ",\n             ".join(
+        f"lag(xs, {w - 1 - t}) OVER wn AS x{t}" if t < w - 1 else f"xs AS x{t}"
+        for t in range(w)
+    )
+    layer_ctes = ",\n    ".join(ctes)
+
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT event_type AS sid, CAST(value AS DOUBLE) AS value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY epoch(ts), event_id) AS rn
+      FROM events
+    ),
+    mm AS (SELECT sid, min(value) AS mn, max(value) AS mx FROM e GROUP BY sid),
+    s AS MATERIALIZED (
+      SELECT e.sid, e.rn,
+             CASE WHEN mm.mx > mm.mn THEN (e.value - mm.mn) / (mm.mx - mm.mn)
+                  ELSE 0.0 END AS xs
+      FROM e JOIN mm USING (sid)
+    ),
+    win AS MATERIALIZED (
+      SELECT sid, rn AS i,
+             {lags}
+      FROM s
+      WINDOW wn AS (PARTITION BY sid ORDER BY rn)
+      QUALIFY rn >= {w}
+    ),
+    {layer_ctes},
+    sc AS MATERIALIZED (
+      SELECT sid, i, ({score})/{float(w)!r} AS score FROM dout
+    ),
+    thr AS (
+      SELECT sid, avg(score) + {_LAE_K} * stddev_pop(score) AS thr
+      FROM sc GROUP BY sid
+    )
+    SELECT s.sid, CAST(s.rn AS DOUBLE) AS rn,
+           round(coalesce(sc.score, 0.0), 4) AS score,
+           CAST(CASE WHEN sc.score > thr.thr THEN -1 ELSE 1 END
+                AS INTEGER) AS verdict
+    FROM s
+    LEFT JOIN sc ON sc.sid = s.sid AND sc.i = s.rn
+    LEFT JOIN thr ON thr.sid = s.sid
+    """
+
+
+@register_extra("autoencoder_lstm_events", _lstm_ae_oracle_sql)
+def autoencoder_lstm_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op-30's real architecture under the hash gate: stacked-LSTM
+    autoencoder (numpy BPTT) trained driver-side on the engine-stable
+    sample, scored distributed through the pluggable-seam kernel."""
+    from anomaly_detection_toolkit_spark.operators.autoencoder import (
+        WindowedAutoencoderDetector,
+    )
+
+    e = load_table(spark, "events", sf_dir).select(
+        F.col("event_type").alias("sid"),
+        F.col("value").cast("double").alias("value"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("ts").cast("timestamp").cast("double"), F.col("event_id")
+            )
+        )
+        .cast("double")
+        .alias("rn"),
+    )
+    det = WindowedAutoencoderDetector(
+        window_size=_LAE_W, threshold_std=_LAE_K
+    ).fit_lstm(
+        e,
+        "sid",
+        "rn",
+        "value",
+        units=_LAE_UNITS,
+        lr=_LAE_LR,
+        epochs=_LAE_EPOCHS,
+        batch_size=_LAE_BATCH,
+        seed=_LAE_SEED,
+        max_fit_rows=_LAE_MAXROWS,
+        max_fit_windows=_LAE_MAXWIN,
     )
     out = det.transform(e, "sid", "rn", "value")
     return out.select("sid", "rn", r4(F.col("score")).alias("score"), "verdict")
