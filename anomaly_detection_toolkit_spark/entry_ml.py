@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from anomaly_detection_toolkit_spark.entry_queries import r4, register
+from anomaly_detection_toolkit_spark.entry_queries import r4, register, register_extra
 from anomaly_detection_toolkit_spark.operators.ml import (
     IsolationForestDetector,
     RobustCovarianceDetector,
@@ -299,7 +299,11 @@ def _rc8_sql(d: int = 8) -> str:
     """
 
 
-@register("robust_cov8d_embeddings", _rc8_sql(8))
+# demoted to the local-parity registry in round 3 to free a driver
+# slot for autoencoder_lstm_events: op 24's driver row is the strictly
+# harder iterative C-step pair; this degenerate support_fraction=1.0
+# case stays hash-verified via tools/parity.py
+@register_extra("robust_cov8d_embeddings", _rc8_sql(8))
 def robust_cov8d_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = load_table(spark, "embeddings", sf_dir).select(
         F.col("vec_id").alias("id"),

@@ -886,7 +886,7 @@ def _lstm_ae_oracle_sql() -> str:
     """
 
 
-@register_extra("autoencoder_lstm_events", _lstm_ae_oracle_sql)
+@register("autoencoder_lstm_events", _lstm_ae_oracle_sql)
 def autoencoder_lstm_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op-30's real architecture under the hash gate: stacked-LSTM
     autoencoder (numpy BPTT) trained driver-side on the engine-stable
