@@ -1054,3 +1054,92 @@ def streaming_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("psi")).alias("psi"),
         "verdict",
     )
+
+
+# --- Streaming exact dedup (streaming × dedup intersection): the
+# documents table replayed as three id-range micro-batches through
+# dropDuplicatesWithinWatermark; each batch file is written sorted by
+# doc_id so "first arrival" is the deterministic min-id order and the
+# oracle is plain first-row-per-fingerprint SQL. ---
+
+_SDEDUP_SQL = """
+    WITH f AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS fingerprint
+      FROM documents
+    )
+    SELECT doc_id, fingerprint
+    FROM (
+      SELECT doc_id, fingerprint,
+             row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS r
+      FROM f
+    ) WHERE r = 1
+"""
+
+
+@register_extra("streaming_dedup_documents", _SDEDUP_SQL)
+def streaming_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen-wins streaming dedup over a 3-batch replay: state
+    (one row per fingerprint inside the watermark horizon) must
+    carry across micro-batch boundaries for cross-batch duplicates
+    to be dropped — a state round-trip the hash gate exercises."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from anomaly_detection_toolkit_spark.streaming import await_streaming
+    from anomaly_detection_toolkit_spark.streaming.dedup import (
+        streaming_exact_dedup,
+    )
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select(
+            "doc_id",
+            "text",
+            # synthetic in-order event time: one second per doc id
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")).alias("ts"),
+        )
+        .persist()
+    )
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    tmp = tempfile.mkdtemp(prefix="adt_sdedup_")
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    base_t = 1_000_000_000.0
+    cuts = (0, n // 3, 2 * n // 3, n)
+    for i in range(3):
+        stage = os.path.join(tmp, f"stage{i}")
+        (
+            docs.filter(
+                (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+            )
+            .coalesce(1)
+            .sortWithinPartitions("doc_id")
+            .write.json(stage)
+        )
+        (part,) = _glob.glob(os.path.join(stage, "part-*.json"))
+        dst = os.path.join(src, f"b{i}.json")
+        _shutil.move(part, dst)
+        os.utime(dst, (base_t + i * 60, base_t + i * 60))
+    docs.unpersist()
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    sink, ckpt = os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+    q = (
+        streaming_exact_dedup(
+            stream, event_time_col="ts", watermark_delay="7 days"
+        )
+        .select("doc_id", "fingerprint")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    await_streaming(q, 300)
+    return spark.read.parquet(sink).select("doc_id", "fingerprint")

@@ -10,7 +10,9 @@ import json
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
+from anomaly_detection_toolkit_spark.streaming import await_streaming
 from anomaly_detection_toolkit_spark.streaming.ingestion import (
     reference_replay,
     sliding_buffer_scores,
@@ -388,3 +390,75 @@ def test_streaming_escalation_with_ttl_config(spark, tmp_path):
     by_val = {r.value: r for r in rows}
     assert by_val[55.0].key_count == 1 and by_val[55.0].level == "warning"
     assert by_val[60.0].key_count == 2 and by_val[60.0].level == "critical"
+
+
+def test_streaming_exact_dedup_first_seen_wins(spark, tmp_path):
+    """Cross-batch and within-batch duplicates are dropped; the first
+    arrival (file order) is the one admitted; state carries across
+    micro-batch boundaries."""
+    from anomaly_detection_toolkit_spark.streaming.dedup import (
+        streaming_exact_dedup,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    batches = [
+        # (doc_id, text, ts-seconds) — 1/2 dup within batch 0; 4 dups 1
+        [(1, "Alpha beta gamma.", 100), (2, "alpha beta gamma", 101),
+         (3, "unique one", 102)],
+        [(4, "ALPHA beta gamma!!", 200), (5, "unique two", 201)],
+        [(6, "unique one", 300)],  # dup of 3 two batches later
+    ]
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}.json"
+        with open(p, "w") as f:
+            for did, text, ts in rows:
+                f.write(json.dumps({"doc_id": did, "text": text, "ts": ts}) + "\n")
+        import os as _os
+
+        _os.utime(p, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.timestamp_seconds(F.col("ts")))
+    )
+    q = (
+        streaming_exact_dedup(stream, event_time_col="ts", watermark_delay="1 hour")
+        .select("doc_id")
+        .writeStream.format("memory")
+        .queryName("sdedup_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    await_streaming(q, 300)
+    kept = {r.doc_id for r in spark.sql("SELECT doc_id FROM sdedup_t").collect()}
+    assert kept == {1, 3, 5}
+
+
+def test_streaming_exact_dedup_unbounded_variant(spark, tmp_path):
+    from anomaly_detection_toolkit_spark.streaming.dedup import (
+        streaming_exact_dedup,
+    )
+
+    src = tmp_path / "in2"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        for did, text in [(1, "a b c"), (2, "A b C"), (3, "x y z")]:
+            f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q = (
+        streaming_exact_dedup(stream)
+        .select("doc_id")
+        .writeStream.format("memory")
+        .queryName("sdedup_u")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    await_streaming(q, 300)
+    kept = {r.doc_id for r in spark.sql("SELECT doc_id FROM sdedup_u").collect()}
+    assert kept == {1, 3}
