@@ -495,8 +495,7 @@ def dedup_incremental_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFra
 
 _PACK_BUDGET = 512
 
-_PACK_SQL = f"""
-    WITH {TOKS_CTE},
+_PACK_CTES = f"""{TOKS_CTE},
     b AS (
       SELECT doc_id,
              CAST(CASE WHEN length(norm) = 0 THEN 0 ELSE len(toks) END
@@ -508,14 +507,37 @@ _PACK_SQL = f"""
       SELECT doc_id, n_tokens,
              CAST(sum(n_tokens) OVER (ORDER BY okey, doc_id) AS BIGINT) AS cum
       FROM b
-    )
-    SELECT doc_id, n_tokens,
-           cum - n_tokens AS start_offset,
-           (cum - n_tokens) // {_PACK_BUDGET} AS chunk_id,
-           (cum - n_tokens) % {_PACK_BUDGET} AS offset_in_chunk,
-           greatest(cum - 1, cum - n_tokens) // {_PACK_BUDGET}
-             - (cum - n_tokens) // {_PACK_BUDGET} + 1 AS n_chunks
-    FROM c
+    ),
+    pk AS (
+      SELECT doc_id, n_tokens,
+             cum - n_tokens AS start_offset,
+             (cum - n_tokens) // {_PACK_BUDGET} AS chunk_id,
+             (cum - n_tokens) % {_PACK_BUDGET} AS offset_in_chunk,
+             greatest(cum - 1, cum - n_tokens) // {_PACK_BUDGET}
+               - (cum - n_tokens) // {_PACK_BUDGET} + 1 AS n_chunks
+      FROM c
+    )"""
+
+_PACK_SQL = f"""
+    WITH {_PACK_CTES}
+    SELECT doc_id, n_tokens, start_offset, chunk_id, offset_in_chunk, n_chunks
+    FROM pk
+"""
+
+_CHUNKS_SQL = f"""
+    WITH {_PACK_CTES}
+    SELECT pk.chunk_id + x.ci AS chunk_id,
+           pk.doc_id,
+           greatest((pk.chunk_id + x.ci) * {_PACK_BUDGET}, pk.start_offset)
+             - pk.start_offset AS tok_from,
+           least((pk.chunk_id + x.ci + 1) * {_PACK_BUDGET},
+                 pk.start_offset + pk.n_tokens)
+             - greatest((pk.chunk_id + x.ci) * {_PACK_BUDGET}, pk.start_offset)
+             AS tok_len,
+           greatest((pk.chunk_id + x.ci) * {_PACK_BUDGET}, pk.start_offset)
+             - (pk.chunk_id + x.ci) * {_PACK_BUDGET} AS chunk_offset
+    FROM pk, LATERAL (SELECT unnest(range(0, pk.n_chunks)) AS ci) x
+    WHERE pk.n_tokens > 0
 """
 
 
@@ -523,6 +545,13 @@ _PACK_SQL = f"""
 def corpus_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, "documents", sf_dir)
     return curation.pack_documents(df, budget=_PACK_BUDGET)
+
+
+@register_extra("corpus_chunk_assignments_documents", _CHUNKS_SQL)
+def corpus_chunk_assignments_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, "documents", sf_dir)
+    packed = curation.pack_documents(df, budget=_PACK_BUDGET)
+    return curation.chunk_assignments(packed, budget=_PACK_BUDGET)
 
 
 _MIX_RATES = {"en": 0.5, "de": 0.25, "zh": 0.1}

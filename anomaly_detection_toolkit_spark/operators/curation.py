@@ -142,6 +142,47 @@ def pack_documents(
     return out
 
 
+def chunk_assignments(
+    packed: DataFrame, budget: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode ``pack_documents`` output into the consumable
+    (chunk, doc-slice) table: one row per chunk a document overlaps,
+    with the token sub-range of the document that lands there.
+
+    Emits ``(chunk_id, doc_id?, tok_from, tok_len, chunk_offset)``
+    where ``tok_from`` is the 0-based offset INTO THE DOCUMENT,
+    ``tok_len`` the slice length, and ``chunk_offset`` where the
+    slice starts inside the chunk — exactly what a tokenizer-side
+    assembler needs to materialize fixed-budget training rows.
+    Zero-token docs emit no rows. Pure codegen'd
+    ``posexplode(sequence(...))`` over ``n_chunks`` — the fan-out is
+    bounded by ceil(doc_tokens/budget)+1 per doc, no shuffle beyond
+    what downstream grouping by ``chunk_id`` needs.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    seq = F.sequence(F.lit(0), F.col("n_chunks") - 1)
+    e = packed.filter(F.col("n_tokens") > 0).select(
+        id_col,
+        "n_tokens",
+        "start_offset",
+        "chunk_id",
+        F.posexplode(seq).alias("ci", "_"),
+    )
+    chunk = F.col("chunk_id") + F.col("ci")
+    # slice of THIS doc that falls into `chunk`: the doc occupies
+    # global tokens [start, start+n); the chunk spans [chunk*B, (chunk+1)*B)
+    lo = F.greatest(chunk * budget, F.col("start_offset"))
+    hi = F.least((chunk + 1) * budget, F.col("start_offset") + F.col("n_tokens"))
+    return e.select(
+        chunk.alias("chunk_id"),
+        F.col(id_col),
+        (lo - F.col("start_offset")).alias("tok_from"),
+        (hi - lo).alias("tok_len"),
+        (lo - chunk * budget).alias("chunk_offset"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -260,6 +260,39 @@ def test_pack_documents_layout_independent(spark):
     assert a == b
 
 
+def test_chunk_assignments_tile_every_chunk_exactly(spark):
+    """Slices must tile the token stream: per doc they cover
+    [0, n_tokens) contiguously; per chunk the offsets+lengths tile
+    [0, budget) (last chunk possibly short) with no overlap."""
+    docs = [(i, " ".join(f"w{j}" for j in range(1 + 4 * (i % 6)))) for i in range(50)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    packed = curation.pack_documents(df, budget=9)
+    rows = curation.chunk_assignments(packed, budget=9).collect()
+    by_doc: dict = {}
+    by_chunk: dict = {}
+    for r in rows:
+        assert 0 < r.tok_len <= 9 and 0 <= r.chunk_offset < 9
+        by_doc.setdefault(r.doc_id, []).append((r.tok_from, r.tok_len))
+        by_chunk.setdefault(r.chunk_id, []).append((r.chunk_offset, r.tok_len))
+    toks = {r.doc_id: r.n_tokens for r in packed.collect()}
+    for did, slices in by_doc.items():
+        slices.sort()
+        pos = 0
+        for frm, ln in slices:
+            assert frm == pos
+            pos += ln
+        assert pos == toks[did]
+    total = sum(toks.values())
+    for cid, slices in sorted(by_chunk.items()):
+        slices.sort()
+        pos = 0
+        for off, ln in slices:
+            assert off == pos
+            pos += ln
+        full = (cid + 1) * 9 <= total
+        assert pos == (9 if full else total - cid * 9)
+
+
 def test_stratified_sample_deterministic_and_rated(spark):
     rows = [(i, "en" if i % 3 else "de") for i in range(3000)]
     df = spark.createDataFrame(rows, "doc_id long, lang string")
