@@ -30,8 +30,8 @@ def _build_zip() -> Path:
     return REPO / "dist" / "engine.zip"
 
 
-def _submit(workdir: Path, zip_path: Path, *args: str) -> str:
-    """Run validate.py via spark-submit from a scratch cwd — the
+def _submit(workdir: Path, zip_path: Path, *args: str, script: str = "validate.py") -> str:
+    """Run a driver script via spark-submit from a scratch cwd — the
     package must come from the --py-files zip, not the repo."""
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)
@@ -43,7 +43,7 @@ def _submit(workdir: Path, zip_path: Path, *args: str) -> str:
             "--conf", "spark.driver.extraJavaOptions=-XX:UseAVX=2",
             "--conf", "spark.ui.enabled=false",
             "--py-files", str(zip_path),
-            str(workdir / "validate.py"),
+            str(workdir / script),
             *args,
         ],
         capture_output=True,
@@ -86,3 +86,39 @@ def test_spark_submit_validate_and_resume(spark, tmp_path):
     # unchanged snapshot -> no-op resume
     out2 = _submit(work, zip_path, "--input", inp, "--output", outdir)
     assert "nothing to do" in out2
+
+
+@pytest.mark.slow
+def test_spark_submit_curate_pipeline(spark, tmp_path):
+    """The curation half ships the same way: spark-submit + zip, from
+    a scratch dir. Drives dedup -> quality -> mixture -> pack and
+    checks the written outputs are consistent."""
+    import json
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inp = str(tmp_path / "docs")
+    docs.write.parquet(inp)
+    outdir = str(tmp_path / "curated")
+
+    zip_path = _build_zip()
+    work = tmp_path / "scratch"
+    work.mkdir()
+    shutil.copy(REPO / "curate.py", work / "curate.py")
+
+    out = _submit(
+        work, zip_path,
+        "--input", inp, "--output", outdir,
+        "--budget", "128", "--near-dup", "--langs", "en=0.7",
+        "--default-rate", "0.5", "--salt", "t",
+        script="curate.py",
+    )
+    assert "curated input=" in out
+    stats = json.load(open(os.path.join(outdir, "stats.json")))
+    assert stats["after_dedup"] <= stats["input"]
+    assert stats["curated"] <= stats["after_quality"]
+    packed = spark.read.parquet(os.path.join(outdir, "packed"))
+    chunks = spark.read.parquet(os.path.join(outdir, "chunks"))
+    assert packed.count() == stats["curated"]
+    # chunk slices re-assemble to exactly the packed token count
+    got = chunks.groupBy().sum("tok_len").first()[0] or 0
+    assert got == stats["tokens"]
