@@ -505,7 +505,9 @@ _PACK_CTES = f"""{TOKS_CTE},
     ),
     c AS (
       SELECT doc_id, n_tokens,
-             CAST(sum(n_tokens) OVER (ORDER BY okey, doc_id) AS BIGINT) AS cum
+             CAST(sum(n_tokens) OVER (ORDER BY okey, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
       FROM b
     ),
     pk AS (

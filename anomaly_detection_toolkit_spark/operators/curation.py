@@ -74,7 +74,18 @@ def prefixed_token_offsets(
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     shift, _ = _bucket_shift(n_buckets)
     part = df.withColumn("bucket", F.shiftright(F.col(order_key), shift))
-    w = Window.partitionBy("bucket").orderBy(order_key, id_col)
+    # ROWS frame, not the default RANGE: RANGE treats order-key PEERS
+    # as one frame, so a duplicated (order_key, id) pair would fold
+    # both rows' values into both cums — overlapping offsets, silent
+    # layout corruption. With ROWS each row gets a distinct running
+    # sum; duplicate ids still produce a VALID non-overlapping layout
+    # (tie order within the duplicate pair is arbitrary) — callers
+    # wanting full determinism must supply unique ids.
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(order_key, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     part = part.withColumn("cum_in", F.sum(value_col).over(w))
     totals = sorted(
         part.groupBy("bucket").agg(F.sum(value_col).alias("tot")).collect(),

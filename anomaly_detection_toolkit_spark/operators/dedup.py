@@ -377,6 +377,13 @@ def incremental_lsh_pairs(
     shuffle, and with a small batch AQE broadcasts the batch side) +
     (batch×batch self-join: quadratic only in the batch). Appending
     the batch's index rows afterwards keeps the next probe valid.
+
+    The returned DataFrame is already materialized (eager
+    ``localCheckpoint``) and owns NO persisted intermediates: this
+    API runs once per ingest batch in a long-lived session, so an
+    internal cache left pinned per call (the batch's banded table,
+    referenced by three join sides) would accumulate without bound.
+    Result size is batch-scale, not corpus-scale.
     """
     new_banded = build_lsh_index(new_df, text_col, id_col, num_perm, bands, n).persist()
     a = new_banded.alias("a")
@@ -414,6 +421,8 @@ def incremental_lsh_pairs(
             "against", F.lit("batch")
         )
     )
+    out = out.localCheckpoint(eager=True)
+    new_banded.unpersist()
     return out
 
 

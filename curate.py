@@ -84,17 +84,19 @@ def main(argv: list[str] | None = None) -> int:
     stats: dict[str, int] = {"input": docs.count()}
 
     # 1. exact dedup (one shuffle on the fingerprint); keepers joined
-    # back to the full rows by id
+    # back to the full rows by id. Persist the deduped corpus ONCE:
+    # the stage counts, optional pair generation + anti-join, and the
+    # downstream filters all re-read it.
     keep = (
         dedup.exact_duplicates(docs)
         .filter(F.col("is_duplicate") == 0)
         .select("doc_id")
     )
-    docs = docs.join(keep, "doc_id", "left_semi")
+    deduped = docs.join(keep, "doc_id", "left_semi").persist()
+    docs = deduped
 
     # 2. optional near-dup clusters
     if args.near_dup:
-        docs = docs.persist()  # pair generation + anti-join re-read it
         pairs = dedup.minhash_lsh_pairs(docs, threshold=args.jaccard)
         clusters = dedup.connected_components(pairs)
         drop = clusters.filter(F.col("id_a") != F.col("cluster")).select(
@@ -103,7 +105,7 @@ def main(argv: list[str] | None = None) -> int:
         docs = docs.join(drop, "doc_id", "left_anti")
     stats["after_dedup"] = docs.count()
 
-    # 3. quality + language
+    # 3. quality + language (adds n_tokens, reused by packing below)
     docs = text.quality_features(docs)
     if args.quality_min > 0.0:
         docs = docs.filter(F.col("quality_score") >= args.quality_min)
@@ -122,12 +124,18 @@ def main(argv: list[str] | None = None) -> int:
         )
         stats["after_mixture"] = docs.count()
 
-    # 5. pack + write. The curated corpus is persisted once: packing
-    # scans it twice (prefix-sum totals + final) and the writes again.
+    # 5. pack + write. The curated corpus replaces the dedup-stage
+    # cache: packing scans it twice (prefix-sum totals + final) and
+    # the writes again. token_col reuses quality_features' n_tokens
+    # (same text.token_count definition) so both packing scans are a
+    # narrow (doc_id, n_tokens) projection, never re-tokenizing text.
     docs = docs.persist()
     out = args.output.rstrip("/")
     docs.write.mode("overwrite").parquet(f"{out}/documents")
-    packed = curation.pack_documents(docs, budget=args.budget).persist()
+    deduped.unpersist()
+    packed = curation.pack_documents(
+        docs, budget=args.budget, token_col="n_tokens"
+    ).persist()
     packed.write.mode("overwrite").parquet(f"{out}/packed")
     chunks = curation.chunk_assignments(packed, budget=args.budget)
     chunks.write.mode("overwrite").parquet(f"{out}/chunks")
