@@ -85,6 +85,45 @@ def test_pack_documents_never_sorts_globally(spark):
     assert plan.count("Window") >= 1 and "bucket" in plan
 
 
+def test_bucketed_lsh_index_probe_is_shuffle_free_on_corpus_side(spark, tmp_path):
+    """The incremental-dedup scale claim (operators/dedup.py
+    build_lsh_index docstring): an index table bucketed by band_key
+    is probed WITHOUT re-shuffling the corpus side — only the small
+    ingest batch pays an exchange. Same join the body of
+    incremental_lsh_pairs builds."""
+    from anomaly_detection_toolkit_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"some text number {i} with shared words {i % 7}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    idx = dedup.build_lsh_index(docs.filter("doc_id % 7 != 0"))
+    spark.sql("DROP TABLE IF EXISTS lsh_idx_plan_t")
+    try:
+        idx.write.bucketBy(8, "band_key").sortBy("band_key").saveAsTable(
+            "lsh_idx_plan_t"
+        )
+        stored = spark.table("lsh_idx_plan_t")
+        nb = dedup.build_lsh_index(docs.filter("doc_id % 7 = 0"))
+        joined = nb.alias("a").join(
+            stored.alias("b"),
+            F.col("a.band_key") == F.col("b.band_key"),
+            "inner",
+        )
+        with_amnesty = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = plan_of(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_amnesty)
+        assert "Bucketed: true" in plan  # corpus side reads its buckets
+        # exactly ONE exchange on band_key — the batch side; a second
+        # would mean the corpus re-shuffled despite the bucketing
+        assert plan.count("Exchange hashpartitioning(band_key") == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lsh_idx_plan_t")
+
+
 def test_filter_pushdown_reaches_parquet(spark):
     df = load_table(spark, "events", SF_DIR).filter(F.col("event_type") == "click")
     plan = plan_of(df.select("event_id"))
