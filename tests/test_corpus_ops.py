@@ -260,6 +260,31 @@ def test_pack_documents_layout_independent(spark):
     assert a == b
 
 
+def test_pack_documents_exact_past_double_precision(spark):
+    """The 'exact at any corpus size' claim: offsets beyond 2^53
+    (where double-based floor() loses integers) must stay exact —
+    the op uses integer `div`, never float division."""
+    rows = [(i, (1 << 51) + i) for i in range(8)]  # ~2.2e15 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, ntok long")
+    out = {
+        r.doc_id: r
+        for r in curation.pack_documents(
+            df, budget=1000, token_col="ntok", n_buckets=2
+        ).collect()
+    }
+    hashed = df.select(
+        "doc_id", text.hash60(F.col("doc_id").cast("string")).alias("h")
+    ).collect()
+    order = [r.doc_id for r in sorted(hashed, key=lambda r: (r.h, r.doc_id))]
+    pos = 0
+    for did in order:
+        r = out[did]
+        assert r.start_offset == pos  # exact int equality at ~1e16 scale
+        assert r.chunk_id == pos // 1000
+        assert r.offset_in_chunk == pos % 1000
+        pos += (1 << 51) + did
+
+
 def test_chunk_assignments_tile_every_chunk_exactly(spark):
     """Slices must tile the token stream: per doc they cover
     [0, n_tokens) contiguously; per chunk the offsets+lengths tile
