@@ -14,7 +14,11 @@ Scale story (the part that matters at 10^12 docs):
 - ``dropDuplicatesWithinWatermark`` holds ONE state row per distinct
   fingerprint seen within the watermark horizon and evicts it when
   the watermark passes — bounded state, the only viable shape for an
-  endless crawl stream. Duplicates further apart than the horizon are
+  endless crawl stream. (Eviction is the micro-batch CLEANUP phase:
+  the batch that advances the watermark past a fingerprint still sees
+  its state; re-admission of the same text starts one batch later —
+  pinned by ``test_streaming_exact_dedup_readmits_after_horizon``.)
+  Duplicates further apart than the horizon are
   not caught here; they are exactly what the BATCH LSH/fingerprint
   passes (and ``incremental_lsh_pairs`` against the persistent index)
   sweep on schedule — the two operators are designed as a pair.

@@ -462,3 +462,54 @@ def test_streaming_exact_dedup_unbounded_variant(spark, tmp_path):
     await_streaming(q, 300)
     kept = {r.doc_id for r in spark.sql("SELECT doc_id FROM sdedup_u").collect()}
     assert kept == {1, 3}
+
+
+def test_streaming_exact_dedup_readmits_after_horizon(spark, tmp_path):
+    """Documented bounded-state semantics: once the watermark passes a
+    fingerprint's state, a NEW arrival of the same text (with a fresh
+    event time) is re-admitted — beyond-horizon dups are the batch
+    passes' job, not the stream's."""
+    from anomaly_detection_toolkit_spark.streaming.dedup import (
+        streaming_exact_dedup,
+    )
+
+    src = tmp_path / "in3"
+    src.mkdir()
+    batches = [
+        [(1, "same old text", 100)],
+        # sentinel far ahead: watermark -> 100000 - 10 >> 100
+        [(2, "watermark mover", 100_000)],
+        # state eviction is a CLEANUP phase: the batch that advances
+        # the watermark doesn't see the eviction itself — doc 1's
+        # fingerprint state is removed at the end of THIS batch
+        [(4, "second mover", 100_005)],
+        # same text again, fresh (non-late) event time -> re-admitted
+        [(3, "same old text", 100_010)],
+    ]
+    import os as _os
+
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}.json"
+        with open(p, "w") as f:
+            for did, text, ts in rows:
+                f.write(json.dumps({"doc_id": did, "text": text, "ts": ts}) + "\n")
+        _os.utime(p, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.timestamp_seconds(F.col("ts")))
+    )
+    q = (
+        streaming_exact_dedup(stream, event_time_col="ts", watermark_delay="10 seconds")
+        .select("doc_id")
+        .writeStream.format("memory")
+        .queryName("sdedup_h")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    await_streaming(q, 300)
+    kept = {r.doc_id for r in spark.sql("SELECT doc_id FROM sdedup_h").collect()}
+    assert kept == {1, 2, 3, 4}  # doc 3 re-admitted after state eviction
