@@ -816,3 +816,142 @@ def drift_pca_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("score")).alias("score"),
         F.col("verdict").cast("int").alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-RUN (temporal) drift, hash-gated end to end (register_extra:
+# local parity gate — the driver registry stays at exactly 50): the
+# events table is bucketed into per-day "runs" of per-cell metrics
+# (exact integer counts + quantized value sums, so every history
+# aggregate is order-independent integer arithmetic in double
+# carriers), and plans/history.history_drift scores the NEWEST day
+# against all prior days — the z-score / IQR-fence math, the σ=0→1
+# guard, conditional (FILTER-style) aggregation and the
+# interpolated-quartile fences are all re-derived in DuckDB.
+# The synthetic day grid is uniform by construction, so the pair
+# PLANTS a regime change (the suite's defect-injection convention):
+# the newest day keeps only every 5th 'click' event, so its 8 click
+# cells (2 checks × 4 parts) genuinely drift while the other 32 cells
+# stay normal — the pair exercises BOTH verdicts and both breach
+# kinds.
+# ---------------------------------------------------------------------------
+
+_HISTORY_DRIFT_SQL = r"""
+    WITH ev AS (
+      SELECT * FROM events
+      WHERE NOT (dayofyear(ts) = (SELECT max(dayofyear(ts)) FROM events)
+                 AND event_type = 'click' AND event_id % 5 <> 0)
+    ),
+    m0 AS (
+      SELECT dayofyear(ts) AS run_seq,
+             CAST(user_id % 4 AS INTEGER) AS part,
+             event_type AS metric,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               AS vsum
+      FROM ev GROUP BY 1, 2, 3
+    ),
+    m AS (
+      SELECT run_seq, part, metric, 'evt_count' AS chk, n AS value FROM m0
+      UNION ALL
+      SELECT run_seq, part, metric, 'evt_vsum', vsum FROM m0
+    ),
+    mx AS (SELECT max(run_seq) AS cur FROM m),
+    st AS (
+      SELECT m.chk, m.part, m.metric,
+             count(*) FILTER (WHERE m.run_seq < mx.cur) AS hist_n,
+             avg(m.value) FILTER (WHERE m.run_seq < mx.cur) AS mu,
+             avg(m.value * m.value) FILTER (WHERE m.run_seq < mx.cur) AS msq,
+             quantile_cont(m.value, 0.25) FILTER (WHERE m.run_seq < mx.cur)
+               AS q1,
+             quantile_cont(m.value, 0.75) FILTER (WHERE m.run_seq < mx.cur)
+               AS q3,
+             max(m.value) FILTER (WHERE m.run_seq = mx.cur) AS value,
+             max(CASE WHEN m.run_seq = mx.cur THEN 1 ELSE 0 END) AS has_cur
+      FROM m, mx GROUP BY 1, 2, 3
+    ),
+    sc AS (
+      SELECT chk, part, metric, value, hist_n, mu,
+             CASE WHEN hist_n > 0
+                  THEN sqrt(greatest(msq - mu * mu, 0)) END AS sd,
+             q1, q3,
+             q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+      FROM st WHERE has_cur = 1
+    ),
+    z AS (
+      SELECT *, CASE WHEN hist_n > 0
+                     THEN (value - mu)
+                          / (CASE WHEN sd > 0 THEN sd ELSE 1 END) END AS z
+      FROM sc
+    )
+    SELECT chk AS "check", part, metric,
+           CAST(value AS BIGINT) AS value_i,
+           CAST(hist_n AS BIGINT) AS hist_n,
+           CAST(floor(mu * 1e4 + 0.5) AS BIGINT) AS mu_e4,
+           CAST(floor(sd * 1e4 + 0.5) AS BIGINT) AS sd_e4,
+           CAST(floor(z * 1e4 + 0.5) AS BIGINT) AS z_e4,
+           CAST(floor(q1 * 1e4 + 0.5) AS BIGINT) AS q1_e4,
+           CAST(floor(q3 * 1e4 + 0.5) AS BIGINT) AS q3_e4,
+           CAST(coalesce(abs(z) > 2.5, FALSE) AS INTEGER) AS z_flag,
+           CAST(coalesce(value < lo OR value > hi, FALSE) AS INTEGER)
+             AS iqr_flag,
+           CAST(CASE WHEN hist_n >= 5
+                      AND (coalesce(abs(z) > 2.5, FALSE)
+                           OR coalesce(value < lo OR value > hi, FALSE))
+                     THEN -1 ELSE 1 END AS INTEGER) AS verdict
+    FROM z
+"""
+
+
+@register_extra("history_drift_events", _HISTORY_DRIFT_SQL)
+def history_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """plans/history.history_drift over per-day metric runs derived
+    from the events table: metric values are exact integers (counts
+    and floor(value*100+0.5) sums), making the cross-engine history
+    moments bit-identical; outputs are floor(x*1e4+0.5) integers."""
+    from anomaly_detection_toolkit_spark.plans.history import history_drift
+    from anomaly_detection_toolkit_spark.sources.testdata import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    # plant the regime change on the newest day (see the SQL comment)
+    mx = ev.agg(F.max(F.dayofyear("ts"))).first()[0]
+    ev = ev.filter(
+        ~(
+            (F.dayofyear("ts") == F.lit(mx))
+            & (F.col("event_type") == "click")
+            & (F.pmod(F.col("event_id"), F.lit(5)) != 0)
+        )
+    )
+    runs = ev.groupBy(
+        F.dayofyear("ts").alias("run_seq"),
+        F.pmod(F.col("user_id"), F.lit(4)).cast("int").alias("part"),
+        F.col("event_type").alias("metric"),
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+        .cast("double")
+        .alias("vsum"),
+    )
+    metrics = runs.select(
+        "run_seq",
+        "part",
+        "metric",
+        F.expr("stack(2, 'evt_count', n, 'evt_vsum', vsum) AS (check, value)"),
+    )
+    scored = history_drift(metrics, z_threshold=2.5, iqr_k=1.5, min_history=5)
+    e4 = lambda c: F.floor(F.col(c) * 1e4 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return scored.select(
+        "check",
+        "part",
+        "metric",
+        F.col("value").cast("bigint").alias("value_i"),
+        F.col("hist_n").cast("bigint").alias("hist_n"),
+        e4("mu").alias("mu_e4"),
+        F.when(F.col("hist_n") > 0, e4("sd")).alias("sd_e4"),
+        e4("z").alias("z_e4"),
+        e4("q1").alias("q1_e4"),
+        e4("q3").alias("q3_e4"),
+        F.col("z_breach").cast("int").alias("z_flag"),
+        F.col("iqr_breach").cast("int").alias("iqr_flag"),
+        F.col("verdict").cast("int").alias("verdict"),
+    )

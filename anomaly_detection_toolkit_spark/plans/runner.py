@@ -363,7 +363,8 @@ class Ledger:
             pf = state.setdefault("part_fingerprints", {})
             pf.update({str(p): v for p, v in fingerprints.items()})
         state["runs"].append(
-            {"ts": time.time(), "snapshot_id": snap, "parts": sorted(parts),
+            {"ts": time.time(), "run_seq": len(state["runs"]),
+             "snapshot_id": snap, "parts": sorted(parts),
              "outputs": outputs}
         )
         self.save(state)
@@ -406,6 +407,11 @@ def run_validation_job(
     result = run_suite(
         df, checks, part_col=part_col, parts=todo, violations_cap=violations_cap
     )
+    # run lineage: every appended sink row carries which run (a
+    # monotonically increasing per-output-dir sequence) and which
+    # input snapshot produced it — the metrics history that
+    # plans/history.history_drift scores across runs
+    run_seq = len(ledger.load().get("runs", []))
     outputs = {}
     for name, out_df in (
         ("verdicts", result.verdicts),
@@ -413,7 +419,9 @@ def run_validation_job(
         ("metrics", result.metrics),
     ):
         path = os.path.join(output_dir, name)
-        out_df.write.mode("append").parquet(path)
+        out_df.withColumn("run_seq", F.lit(run_seq)).withColumn(
+            "snapshot_id", F.lit(str(snap))
+        ).write.mode("append").parquet(path)
         outputs[name] = path
     ledger.record(
         snap,

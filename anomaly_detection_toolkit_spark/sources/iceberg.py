@@ -264,6 +264,9 @@ def run_validation_job_iceberg(
         parts=todo,
         violations_cap=violations_cap,
     )
+    # run lineage columns (see plans/runner.run_validation_job): here
+    # snapshot_id is the REAL Iceberg snapshot the read was pinned to
+    run_seq = len(state.get("runs", []))
     outputs = {}
     for name, out_df in (
         ("verdicts", result.verdicts),
@@ -271,7 +274,9 @@ def run_validation_job_iceberg(
         ("metrics", result.metrics),
     ):
         path = os.path.join(output_dir, name)
-        out_df.write.mode("append").parquet(path)
+        out_df.withColumn("run_seq", F.lit(run_seq)).withColumn(
+            "snapshot_id", F.lit(str(snap))
+        ).write.mode("append").parquet(path)
         outputs[name] = path
     record_iceberg(ledger, int(snap), result.parts_checked, set(todo), outputs)
     for d in result.cached:
@@ -306,6 +311,7 @@ def record_iceberg(
     state["runs"].append(
         {
             "ts": time.time(),
+            "run_seq": len(state["runs"]),
             "snapshot_id": snap,
             "parts": sorted(int(p) for p in validated_parts),
             "outputs": outputs,

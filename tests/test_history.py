@@ -1,0 +1,154 @@
+"""Cross-run (temporal) drift: plans/history.py.
+
+Golden math (numpy conventions), σ=0 / min-history guards, rolling
+frame exclusivity, the violations projection, the run-lineage tagging
+of the job sinks, and the one-shuffle plan shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_toolkit_spark.plans import checks as C
+from anomaly_detection_toolkit_spark.plans import runner as R
+from anomaly_detection_toolkit_spark.plans.history import (
+    history_drift,
+    history_violations,
+)
+from anomaly_detection_toolkit_spark.sources import images
+
+METRICS = "check string, part int, metric string, value double, run_seq long"
+
+
+def _metrics(spark, rows):
+    return spark.createDataFrame(rows, METRICS)
+
+
+def test_global_mode_matches_numpy(spark):
+    hist = [4.0, 7.0, 1.0, 9.0, 3.0, 6.0]
+    cur = 20.0
+    rows = [("stats", 0, "null_rate", v, i) for i, v in enumerate(hist)]
+    rows.append(("stats", 0, "null_rate", cur, len(hist)))
+    out = history_drift(
+        _metrics(spark, rows), z_threshold=2.0, iqr_k=1.5, min_history=3
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    a = np.array(hist)
+    assert r["hist_n"] == len(hist)
+    assert r["mu"] == pytest.approx(a.mean())
+    assert r["sd"] == pytest.approx(a.std())  # population σ
+    assert r["z"] == pytest.approx((cur - a.mean()) / a.std())
+    q1, q3 = np.percentile(a, [25, 75])  # linear interpolation
+    assert r["q1"] == pytest.approx(q1)
+    assert r["q3"] == pytest.approx(q3)
+    assert r["lo"] == pytest.approx(q1 - 1.5 * (q3 - q1))
+    assert r["hi"] == pytest.approx(q3 + 1.5 * (q3 - q1))
+    assert r["z_breach"] and r["iqr_breach"] and r["verdict"] == -1
+
+
+def test_sigma_zero_guard_and_min_history(spark):
+    rows = (
+        # constant history, σ=0 → divide by 1 (the reference's guard):
+        # z = value − mu = 2 < 3 → no z flag, but IQR fences are
+        # degenerate (width 0) → iqr_breach flags it
+        [("a", 0, "m", 5.0, i) for i in range(4)]
+        + [("a", 0, "m", 7.0, 4)]
+        # only 2 history points → below min_history, never flags
+        + [("b", 0, "m", 1.0, 2), ("b", 0, "m", 1.0, 3), ("b", 0, "m", 99.0, 4)]
+        # cell absent from the current run → not scored
+        + [("c", 0, "m", 1.0, 0)]
+        # cell NEW in the current run (no history) → scored, unflagged
+        + [("d", 0, "m", 42.0, 4)]
+    )
+    out = {r["check"]: r for r in history_drift(_metrics(spark, rows), min_history=3).collect()}
+    assert set(out) == {"a", "b", "d"}
+    assert out["a"]["sd"] == 0.0 and out["a"]["z"] == pytest.approx(2.0)
+    assert not out["a"]["z_breach"] and out["a"]["iqr_breach"]
+    assert out["a"]["verdict"] == -1
+    assert out["b"]["verdict"] == 1 and out["b"]["z_breach"]  # flagged-but-gated
+    assert out["d"]["hist_n"] == 0 and out["d"]["z"] is None
+    assert out["d"]["verdict"] == 1
+
+
+def test_rolling_mode_excludes_current_and_caps_window(spark):
+    # regime change at run 6: the trailing-3 baseline [10,10,10] makes
+    # run 6 an outlier; by run 9 the baseline is all-50s again
+    vals = [10.0] * 6 + [50.0] * 4
+    rows = [("a", 0, "m", v, i) for i, v in enumerate(vals)]
+    out = {
+        r["run_seq"]: r
+        for r in history_drift(
+            _metrics(spark, rows), rolling_window=3, min_history=3
+        ).collect()
+    }
+    assert len(out) == len(vals)
+    assert out[0]["hist_n"] == 0  # first run: empty frame, never itself
+    assert out[2]["hist_n"] == 2
+    assert all(out[i]["hist_n"] == 3 for i in range(3, 10))
+    assert out[6]["verdict"] == -1  # change flags when it ARRIVES
+    assert out[6]["mu"] == pytest.approx(10.0)  # frame excludes run 6
+    assert out[9]["verdict"] == 1  # new regime absorbed after W runs
+    # current_seq filter keeps only the newest run
+    only = history_drift(
+        _metrics(spark, rows), rolling_window=3, current_seq=9
+    ).collect()
+    assert [r["run_seq"] for r in only] == [9]
+
+
+def test_violations_projection(spark):
+    rows = [("stats", 2, "mean", float(v), i) for i, v in enumerate([1, 1, 1, 1, 80])]
+    scored = history_drift(_metrics(spark, rows), min_history=3)
+    v = history_violations(scored).collect()
+    assert len(v) == 1
+    r = v[0]
+    assert r["check"] == "history_drift" and r["level"] == "warning"
+    assert r["column"] == "mean" and r["entity_id"] == "stats" and r["part"] == 2
+    assert "prior runs" in r["message"]
+    # empty when nothing drifts
+    calm = history_drift(
+        _metrics(spark, [("s", 0, "m", 1.0, i) for i in range(5)]), min_history=3
+    )
+    assert history_violations(calm).count() == 0
+
+
+def test_global_mode_is_one_shuffle(spark):
+    rows = [("s", 0, "m", float(i), i) for i in range(6)]
+    df = history_drift(_metrics(spark, rows), current_seq=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one groupBy aggregation, conditional (no history self-join):
+    # exactly one exchange pair feeds partial→final aggregation
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_job_sinks_carry_run_lineage_and_history_scores(spark, tmp_path):
+    """run_validation_job tags verdicts/violations/metrics with
+    (run_seq, snapshot_id); two runs' metrics feed history_drift."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    images.write_images(spark, src, 400, n_parts=2)
+    suite = [C.ColumnStatsCheck({"w": {"max_null_rate": 0.0}})]
+
+    assert R.run_validation_job(spark, src, out, checks=suite, incremental=True)
+    shutil.copytree(f"{src}/part=1", f"{src}/part=2")
+    assert R.run_validation_job(spark, src, out, checks=suite, incremental=True)
+
+    for sink in ("verdicts", "violations", "metrics"):
+        cols = spark.read.parquet(f"{out}/{sink}").columns
+        assert {"run_seq", "snapshot_id"} <= set(cols), sink
+    m = spark.read.parquet(f"{out}/metrics")
+    assert {r["run_seq"] for r in m.select("run_seq").distinct().collect()} == {0, 1}
+    assert m.select("snapshot_id").distinct().count() == 2
+    state = R.Ledger(f"{out}/_ledger").load()
+    assert [run["run_seq"] for run in state["runs"]] == [0, 1]
+
+    # run 1 validated only the appended part=2 → its cells have no
+    # same-cell history (parts 0/1 are run 0) → scored but unflagged
+    scored = history_drift(m, min_history=1).collect()
+    assert {r["part"] for r in scored} == {2}
+    assert all(r["hist_n"] == 0 and r["verdict"] == 1 for r in scored)

@@ -79,6 +79,31 @@ def main(argv: list[str] | None = None) -> int:
         "distribution — flags regime changes when they arrive",
     )
     ap.add_argument(
+        "--history-drift",
+        action="store_true",
+        help="after the run, score this run's metrics against the "
+        "metrics history of PRIOR runs in the same output dir "
+        "(cross-run temporal drift: z-score + IQR fences per "
+        "(check, part, metric) cell) and append the scored cells to "
+        "<output>/history_drift",
+    )
+    ap.add_argument(
+        "--history-window",
+        type=int,
+        default=None,
+        metavar="W",
+        help="with --history-drift: baseline = the trailing W runs "
+        "instead of all prior runs",
+    )
+    ap.add_argument("--history-z", type=float, default=3.0)
+    ap.add_argument("--history-iqr-k", type=float, default=1.5)
+    ap.add_argument(
+        "--history-min-runs",
+        type=int,
+        default=3,
+        help="cells with fewer prior observations never flag",
+    )
+    ap.add_argument(
         "--violations-cap",
         type=int,
         default=None,
@@ -141,7 +166,60 @@ def main(argv: list[str] | None = None) -> int:
     for r in verdicts:
         if r["verdict"] == -1:
             print(f"  FAIL part={r['part']} check={r['check']} errors={r['n_errors']}")
+    if args.history_drift:
+        _run_history_drift(spark, args)
     return 0
+
+
+def _run_history_drift(spark, args) -> None:
+    """Score the newest run's metrics against prior runs' (see
+    plans/history.py). mergeSchema tolerates metrics written before
+    the run_seq lineage columns existed (their rows read as NULL and
+    drop out of the history via the run_seq < current filter)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_toolkit_spark.plans.history import (
+        history_drift,
+        history_violations,
+    )
+
+    metrics = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(args.output, "metrics"))
+    )
+    if "run_seq" not in metrics.columns:
+        print("history-drift: metrics sink has no run_seq lineage yet")
+        return
+    n_runs = metrics.select("run_seq").where(F.col("run_seq").isNotNull()).distinct().count()
+    if n_runs < 2:
+        print(f"history-drift: {n_runs} tagged run(s) — nothing to compare yet")
+        return
+    scored = history_drift(
+        metrics,
+        z_threshold=args.history_z,
+        iqr_k=args.history_iqr_k,
+        min_history=args.history_min_runs,
+        rolling_window=args.history_window,
+        current_seq=(
+            metrics.agg(F.max("run_seq")).first()[0]
+            if args.history_window is not None
+            else None
+        ),
+    ).persist()
+    scored.write.mode("append").parquet(os.path.join(args.output, "history_drift"))
+    flagged = history_violations(scored).collect()
+    print(
+        f"history-drift: scored {scored.count()} cells vs history, "
+        f"{len(flagged)} drifted"
+    )
+    for r in flagged[:20]:
+        print(
+            f"  DRIFT check={r['entity_id']} metric={r['column']} "
+            f"part={r['part']} value={r['value']} ({r['message']})"
+        )
+    scored.unpersist()
 
 
 if __name__ == "__main__":
