@@ -130,6 +130,47 @@ class SchemaCheck(Check):
         return CheckOutput(violations, metrics)
 
 
+def schema_diff(
+    prev: dict[str, str], cur: dict[str, str]
+) -> list[tuple[str, str, str | None, str | None]]:
+    """Diff two {column: simple-type} maps → ``(column, kind,
+    prev_type, cur_type)`` rows, kind ∈ {added, removed, retyped}.
+
+    The cross-RUN complement of SchemaCheck: SchemaCheck validates
+    against a declared expectation, this detects UNDECLARED evolution
+    between consecutive runs of the same table (the Iceberg
+    schema-evolution events a petabyte table accrues silently).
+    Metadata-only — no scan on either side."""
+    out: list[tuple[str, str, str | None, str | None]] = []
+    for col in sorted(set(prev) | set(cur)):
+        if col not in cur:
+            out.append((col, "removed", prev[col], None))
+        elif col not in prev:
+            out.append((col, "added", None, cur[col]))
+        elif prev[col] != cur[col]:
+            out.append((col, "retyped", prev[col], cur[col]))
+    return out
+
+
+def schema_evolution_violations(
+    spark: SparkSession, prev: dict[str, str] | None, cur: dict[str, str]
+) -> DataFrame:
+    """Warning-level VIOLATION_SCHEMA rows for every schema change vs
+    the previous run (empty on the first run / no change). Warnings,
+    not errors: evolution may be intentional — the declared-contract
+    SchemaCheck stays the error-level gate."""
+    rows = (
+        []  # first run: no baseline to diff against
+        if prev is None
+        else [
+            ("schema_evolution", "warning", col, None, -1, ct, pt,
+             f"column {kind} vs previous run")
+            for col, kind, pt, ct in schema_diff(prev, cur)
+        ]
+    )
+    return local_rows_df(spark, rows, VIOLATION_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Column stats + constraints
 # ---------------------------------------------------------------------------

@@ -331,6 +331,7 @@ class Ledger:
         outputs: dict[str, str],
         fingerprints: dict[int, str] | None = None,
         carry_fps: dict[int, str] | None = None,
+        table_schema: dict[str, str] | None = None,
     ) -> None:
         """Record completed ``parts`` under snapshot ``snap``.
 
@@ -357,11 +358,22 @@ class Ledger:
                     "runs": state["runs"],
                 }
             else:
-                state = {"snapshot_id": snap, "completed_parts": [], "runs": []}
+                # completed parts reset (full re-run planned) but the
+                # RUN history survives snapshot advances: run_seq must
+                # stay monotonic or sink rows from different snapshots
+                # would collide on the same run_seq (history_drift
+                # keys its current-vs-history split on it)
+                state = {
+                    "snapshot_id": snap,
+                    "completed_parts": [],
+                    "runs": state["runs"],
+                }
         state["completed_parts"] = sorted(set(state["completed_parts"]) | set(parts))
         if fingerprints:
             pf = state.setdefault("part_fingerprints", {})
             pf.update({str(p): v for p, v in fingerprints.items()})
+        if table_schema is not None:
+            state["table_schema"] = table_schema
         state["runs"].append(
             {"ts": time.time(), "run_seq": len(state["runs"]),
              "snapshot_id": snap, "parts": sorted(parts),
@@ -411,11 +423,22 @@ def run_validation_job(
     # monotonically increasing per-output-dir sequence) and which
     # input snapshot produced it — the metrics history that
     # plans/history.history_drift scores across runs
-    run_seq = len(ledger.load().get("runs", []))
+    state0 = ledger.load()
+    run_seq = len(state0.get("runs", []))
+    # undeclared schema evolution vs the previous run (metadata-only;
+    # warning rows — the declared SchemaCheck stays the error gate)
+    from anomaly_detection_toolkit_spark.plans.checks import (
+        schema_evolution_violations,
+    )
+
+    cur_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    evo = schema_evolution_violations(
+        spark, state0.get("table_schema"), cur_schema
+    )
     outputs = {}
     for name, out_df in (
         ("verdicts", result.verdicts),
-        ("violations", result.violations),
+        ("violations", result.violations.unionByName(evo)),
         ("metrics", result.metrics),
     ):
         path = os.path.join(output_dir, name)
@@ -429,6 +452,7 @@ def run_validation_job(
         outputs,
         fingerprints={p: fps[p] for p in result.parts_checked if p in fps} or None,
         carry_fps=fps if incremental else None,
+        table_schema=cur_schema,
     )
     # outputs are materialized — release the shared narrow-projection
     # cache (violations/metrics stay persisted for the caller)

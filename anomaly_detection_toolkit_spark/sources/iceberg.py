@@ -267,10 +267,18 @@ def run_validation_job_iceberg(
     # run lineage columns (see plans/runner.run_validation_job): here
     # snapshot_id is the REAL Iceberg snapshot the read was pinned to
     run_seq = len(state.get("runs", []))
+    # undeclared schema evolution vs the previous run's recorded
+    # schema (Iceberg tables evolve schemas in-place; metadata-only)
+    from anomaly_detection_toolkit_spark.plans.checks import (
+        schema_evolution_violations,
+    )
+
+    cur_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    evo = schema_evolution_violations(spark, state.get("table_schema"), cur_schema)
     outputs = {}
     for name, out_df in (
         ("verdicts", result.verdicts),
-        ("violations", result.violations),
+        ("violations", result.violations.unionByName(evo)),
         ("metrics", result.metrics),
     ):
         path = os.path.join(output_dir, name)
@@ -278,7 +286,10 @@ def run_validation_job_iceberg(
             "snapshot_id", F.lit(str(snap))
         ).write.mode("append").parquet(path)
         outputs[name] = path
-    record_iceberg(ledger, int(snap), result.parts_checked, set(todo), outputs)
+    record_iceberg(
+        ledger, int(snap), result.parts_checked, set(todo), outputs,
+        table_schema=cur_schema,
+    )
     for d in result.cached:
         d.unpersist()
     return result
@@ -290,6 +301,7 @@ def record_iceberg(
     validated_parts: list[int],
     planned_parts: set[int],
     outputs: dict[str, str],
+    table_schema: dict[str, str] | None = None,
 ) -> None:
     """Advance the ledger to Iceberg snapshot ``snap``.
 
@@ -308,6 +320,8 @@ def record_iceberg(
     state["completed_parts"] = sorted(
         set(state["completed_parts"]) | set(int(p) for p in validated_parts)
     )
+    if table_schema is not None:
+        state["table_schema"] = table_schema
     state["runs"].append(
         {
             "ts": time.time(),

@@ -152,3 +152,58 @@ def test_job_sinks_carry_run_lineage_and_history_scores(spark, tmp_path):
     scored = history_drift(m, min_history=1).collect()
     assert {r["part"] for r in scored} == {2}
     assert all(r["hist_n"] == 0 and r["verdict"] == 1 for r in scored)
+
+
+def test_schema_diff_pure():
+    from anomaly_detection_toolkit_spark.plans.checks import schema_diff
+
+    prev = {"a": "int", "b": "string", "c": "double"}
+    cur = {"a": "bigint", "b": "string", "d": "binary"}
+    assert schema_diff(prev, cur) == [
+        ("a", "retyped", "int", "bigint"),
+        ("c", "removed", "double", None),
+        ("d", "added", None, "binary"),
+    ]
+    assert schema_diff(cur, cur) == []
+    assert schema_diff({}, {"x": "int"}) == [("x", "added", None, "int")]
+
+
+def test_schema_evolution_flags_undeclared_changes_across_runs(spark, tmp_path):
+    """A second run whose input gained / retyped columns appends
+    warning-level schema_evolution violations; run_seq stays monotonic
+    across the (non-incremental) snapshot change."""
+    src1 = str(tmp_path / "src1")
+    src2 = str(tmp_path / "src2")
+    out = str(tmp_path / "out")
+    images.write_images(spark, src1, 300, n_parts=2)
+    suite = [C.ColumnStatsCheck({"w": {"max_null_rate": 0.0}})]
+
+    assert R.run_validation_job(spark, src1, out, checks=suite)
+    v0 = spark.read.parquet(f"{out}/violations")
+    assert v0.filter(F.col("check") == "schema_evolution").count() == 0
+
+    # evolve the table: add a column, retype another
+    df = spark.read.parquet(src1)
+    df.withColumn("extra", F.lit(1)).withColumn(
+        "h", F.col("h").cast("long")
+    ).write.partitionBy("part").parquet(src2)
+    assert R.run_validation_job(spark, src2, out, checks=suite)
+
+    evo = (
+        spark.read.parquet(f"{out}/violations")
+        .filter(F.col("check") == "schema_evolution")
+        .collect()
+    )
+    by_col = {r["column"]: r for r in evo}
+    assert "extra" in by_col and "added" in by_col["extra"]["message"]
+    assert "h" in by_col and "retyped" in by_col["h"]["message"]
+    assert all(r["level"] == "warning" and r["run_seq"] == 1 for r in evo)
+    # run history survived the snapshot change (monotonic run_seq)
+    state = R.Ledger(f"{out}/_ledger").load()
+    assert [run["run_seq"] for run in state["runs"]] == [0, 1]
+    assert state["table_schema"]["extra"] == "int"
+    # verdict grid unaffected: evolution is warning-level by design
+    # and adds NO verdict cells (the declared SchemaCheck stays the
+    # error gate)
+    verd = spark.read.parquet(f"{out}/verdicts")
+    assert verd.filter(F.col("check") == "schema_evolution").count() == 0
