@@ -113,6 +113,59 @@ def cap_violations(violations: DataFrame, per_cell: int) -> DataFrame:
     )
 
 
+def quarantine_ids(
+    violations: DataFrame, levels: tuple[str, ...] = ("error",)
+) -> DataFrame:
+    """Distinct ``entity_id`` values implicated in row-level
+    violations at the given ``levels`` (one string column,
+    ``entity_id``). Partition-level violations (NULL entity_id —
+    drift, stats-constraint breaches) don't quarantine rows.
+
+    Feed the UNCAPPED violations when quarantining: under
+    ``violations_cap`` the sink holds per-(check, part) exemplars, so
+    ids derived from it UNDER-quarantine by design. ``run_suite``'s
+    in-memory ``result.violations`` is capped only if you asked for
+    the cap."""
+    return (
+        violations.filter(
+            F.col("level").isin(list(levels)) & F.col("entity_id").isNotNull()
+        )
+        .select("entity_id")
+        .distinct()
+    )
+
+
+def clean_table(
+    df: DataFrame,
+    violations_or_ids: DataFrame,
+    entity_col: str = "image_id",
+    levels: tuple[str, ...] = ("error",),
+    broadcast: bool = True,
+) -> DataFrame:
+    """The consumable output of a validation run: ``df`` minus every
+    row whose ``entity_col`` appears in the violations — what a
+    training pipeline reads instead of the raw table.
+
+    Accepts either a violations DataFrame (VIOLATION_SCHEMA — reduced
+    via ``quarantine_ids``) or an already-distinct id table with an
+    ``entity_id`` column. LEFT ANTI join; the distinct shuffles only
+    the violating subset, and with ``broadcast=True`` (default — the
+    typical sparse-defect case) the anti-join adds NO shuffle of the
+    10^12-row fact side. For systematically broken ingests (violating
+    set too big to broadcast) pass ``broadcast=False`` and AQE picks
+    the join strategy."""
+    ids = (
+        violations_or_ids
+        if violations_or_ids.columns == ["entity_id"]
+        else quarantine_ids(violations_or_ids, levels)
+    )
+    ids = ids.select(F.col("entity_id"))
+    side = F.broadcast(ids) if broadcast else ids
+    return df.join(
+        side, on=df[entity_col].cast("string") == side["entity_id"], how="left_anti"
+    )
+
+
 def run_suite(
     df: DataFrame,
     checks: list[Check],

@@ -207,3 +207,48 @@ def test_schema_evolution_flags_undeclared_changes_across_runs(spark, tmp_path):
     # error gate)
     verd = spark.read.parquet(f"{out}/verdicts")
     assert verd.filter(F.col("check") == "schema_evolution").count() == 0
+
+
+def test_quarantine_and_clean_table(spark, tmp_path):
+    """Error-level row violations → distinct id list → LEFT ANTI
+    cleaned table: the consumable 'only passing rows' output."""
+    src = str(tmp_path / "src")
+    images.write_images(spark, src, 400, n_parts=2)
+    df = spark.read.parquet(src)
+    result = R.run_suite(
+        df,
+        [
+            C.UniquenessCheck("image_id", entity_col="image_id"),
+            C.ReferentialCheck(),
+        ],
+    )
+    ids = R.quarantine_ids(result.violations).collect()
+    assert len(ids) > 0  # the generator plants dup-id / orphan defects
+    id_set = {r["entity_id"] for r in ids}
+    cleaned = R.clean_table(df, result.violations)
+    assert cleaned.count() == df.filter(~F.col("image_id").isin(id_set)).count()
+    assert cleaned.filter(F.col("image_id").isin(id_set)).count() == 0
+    # warning-only violations don't quarantine
+    assert R.quarantine_ids(result.violations, levels=("error",)).count() == len(ids)
+    # id-table input path accepted too
+    pre = R.quarantine_ids(result.violations)
+    assert R.clean_table(df, pre).count() == cleaned.count()
+    for d in (result.violations, result.metrics, *result.cached):
+        d.unpersist()
+
+
+def test_clean_table_broadcasts_the_id_side(spark, tmp_path):
+    src = str(tmp_path / "src")
+    images.write_images(spark, src, 200, n_parts=2)
+    df = spark.read.parquet(src)
+    ids = spark.createDataFrame([("img_000001",)], "entity_id string")
+    plan = (
+        R.clean_table(df, ids)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the 10^12-row fact side must NOT shuffle: broadcast anti-join
+    assert "LeftAnti" in plan and "BroadcastExchange" in plan
+    fact_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in fact_side

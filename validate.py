@@ -104,6 +104,16 @@ def main(argv: list[str] | None = None) -> int:
         help="cells with fewer prior observations never flag",
     )
     ap.add_argument(
+        "--quarantine",
+        action="store_true",
+        help="write the distinct error-level entity ids of THIS run to "
+        "<output>/quarantine_ids — the list consumers anti-join away "
+        "(plans.runner.clean_table) to read only passing rows. "
+        "Combined with --violations-cap the ids cover only the kept "
+        "exemplars (under-quarantine); leave the cap off when the id "
+        "list must be complete",
+    )
+    ap.add_argument(
         "--violations-cap",
         type=int,
         default=None,
@@ -166,6 +176,15 @@ def main(argv: list[str] | None = None) -> int:
     for r in verdicts:
         if r["verdict"] == -1:
             print(f"  FAIL part={r['part']} check={r['check']} errors={r['n_errors']}")
+    if args.quarantine:
+        import os
+
+        from anomaly_detection_toolkit_spark.plans.runner import quarantine_ids
+
+        qpath = os.path.join(args.output, "quarantine_ids")
+        ids = quarantine_ids(result.violations)
+        ids.write.mode("append").parquet(qpath)
+        print(f"quarantine: {ids.count()} entity ids -> {qpath}")
     if args.history_drift:
         _run_history_drift(spark, args)
     return 0
