@@ -252,3 +252,34 @@ def test_clean_table_broadcasts_the_id_side(spark, tmp_path):
     assert "LeftAnti" in plan and "BroadcastExchange" in plan
     fact_side = plan.split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in fact_side
+
+
+def test_report_tool_renders_run_history(spark, tmp_path):
+    """tools/report.py reads only the tiny sinks + ledger (no Spark)
+    and renders per-run verdict trends."""
+    import shutil
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    images.write_images(spark, src, 300, n_parts=2)
+    suite = [C.UniquenessCheck("image_id", entity_col="image_id")]
+    assert R.run_validation_job(spark, src, out, checks=suite, incremental=True)
+    shutil.copytree(f"{src}/part=1", f"{src}/part=2")
+    assert R.run_validation_job(spark, src, out, checks=suite, incremental=True)
+
+    repo = Path(__file__).resolve().parent.parent
+    res = subprocess.run(
+        [sys.executable, str(repo / "tools" / "report.py"), out],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert res.returncode == 0, res.stderr
+    assert "run   1" in res.stdout and "run   0" in res.stdout
+    assert "uniqueness_image_id" in res.stdout
+    assert "== ledger ==" in res.stdout and "runs 2" in res.stdout
+    # schema map was recorded by the second run
+    assert "schema cols 0" not in res.stdout
