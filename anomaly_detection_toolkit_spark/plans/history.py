@@ -80,6 +80,13 @@ def history_drift(
     callers can surface them separately).
     """
     v = F.col("value")
+    # rows without run lineage (sinks written before the run_seq
+    # columns existed) can't be placed on the run axis: drop them
+    # EXPLICITLY. In rolling mode especially, NULL order keys would
+    # sort first in an arbitrary mutual order and leak
+    # nondeterministically into trailing frames (the repo's
+    # total-order window rule).
+    metrics = metrics.filter(F.col(run_col).isNotNull())
     if rolling_window is None:
         if current_seq is None:
             # driver-side max over the tiny aggregated metrics table

@@ -154,12 +154,16 @@ def clean_table(
     10^12-row fact side. For systematically broken ingests (violating
     set too big to broadcast) pass ``broadcast=False`` and AQE picks
     the join strategy."""
-    ids = (
-        violations_or_ids
-        if violations_or_ids.columns == ["entity_id"]
-        else quarantine_ids(violations_or_ids, levels)
-    )
-    ids = ids.select(F.col("entity_id"))
+    cols = set(violations_or_ids.columns)
+    if {"level", "entity_id"} <= cols:  # VIOLATION_SCHEMA-shaped
+        ids = quarantine_ids(violations_or_ids, levels)
+    elif "entity_id" in cols:  # an id table (extra columns tolerated)
+        ids = violations_or_ids.select("entity_id").distinct()
+    else:
+        raise ValueError(
+            "violations_or_ids needs an entity_id column "
+            f"(got {sorted(cols)})"
+        )
     side = F.broadcast(ids) if broadcast else ids
     return df.join(
         side, on=df[entity_col].cast("string") == side["entity_id"], how="left_anti"
@@ -385,6 +389,7 @@ class Ledger:
         fingerprints: dict[int, str] | None = None,
         carry_fps: dict[int, str] | None = None,
         table_schema: dict[str, str] | None = None,
+        run_seq: int | None = None,
     ) -> None:
         """Record completed ``parts`` under snapshot ``snap``.
 
@@ -396,6 +401,19 @@ class Ledger:
         for future incremental runs."""
         state = self.load()
         if state["snapshot_id"] != snap:
+            # completed parts reset (or carry forward under carry_fps)
+            # but the RUN history, run-seq counter and recorded schema
+            # survive snapshot advances: run_seq must stay monotonic
+            # or sink rows from different snapshots would collide on
+            # the same run_seq (history_drift keys its
+            # current-vs-history split on it), and the schema baseline
+            # must outlive the snapshot or evolution at a snapshot
+            # boundary — the common case — would never be diffed
+            keep_keys = {
+                k: state[k]
+                for k in ("runs", "next_run_seq", "table_schema")
+                if k in state
+            }
             if carry_fps is not None:
                 recorded = state.get("part_fingerprints", {})
                 keep = [
@@ -408,18 +426,13 @@ class Ledger:
                     "snapshot_id": snap,
                     "completed_parts": keep,
                     "part_fingerprints": {str(p): recorded[str(p)] for p in keep},
-                    "runs": state["runs"],
+                    **keep_keys,
                 }
             else:
-                # completed parts reset (full re-run planned) but the
-                # RUN history survives snapshot advances: run_seq must
-                # stay monotonic or sink rows from different snapshots
-                # would collide on the same run_seq (history_drift
-                # keys its current-vs-history split on it)
                 state = {
                     "snapshot_id": snap,
                     "completed_parts": [],
-                    "runs": state["runs"],
+                    **keep_keys,
                 }
         state["completed_parts"] = sorted(set(state["completed_parts"]) | set(parts))
         if fingerprints:
@@ -427,12 +440,67 @@ class Ledger:
             pf.update({str(p): v for p, v in fingerprints.items()})
         if table_schema is not None:
             state["table_schema"] = table_schema
+        seq = len(state["runs"]) if run_seq is None else int(run_seq)
         state["runs"].append(
-            {"ts": time.time(), "run_seq": len(state["runs"]),
+            {"ts": time.time(), "run_seq": seq,
              "snapshot_id": snap, "parts": sorted(parts),
              "outputs": outputs}
         )
+        state["next_run_seq"] = max(int(state.get("next_run_seq", 0)), seq + 1)
         self.save(state)
+
+    def reserve_run_seq(self) -> int:
+        """Allocate the next run_seq and persist the bump BEFORE any
+        sink write. If a job dies between appending tagged sink rows
+        and ``record()``, the reserved seq is simply skipped — the
+        next run can never re-tag rows with an already-used run_seq
+        (which would double-count a run in every history baseline)."""
+        state = self.load()
+        seq = max(int(state.get("next_run_seq", 0)), len(state.get("runs", [])))
+        state["next_run_seq"] = seq + 1
+        self.save(state)
+        return seq
+
+
+def record_schema_only_change(
+    spark: SparkSession,
+    ledger: "Ledger",
+    snap,
+    prev_schema: dict[str, str] | None,
+    cur_schema: dict[str, str],
+    output_dir: str,
+) -> bool:
+    """Report schema evolution when a run has NO data partitions to
+    validate — e.g. Iceberg ``ALTER TABLE ADD COLUMN`` creates no new
+    snapshot and touches no data files, so the planner's todo list is
+    empty, yet the evolution must not go unreported until some
+    unrelated commit forces a re-run. Appends the warning rows (with
+    a reserved run_seq) and advances the recorded schema; returns True
+    iff a change was recorded."""
+    from anomaly_detection_toolkit_spark.plans.checks import (
+        schema_diff,
+        schema_evolution_violations,
+    )
+
+    if prev_schema is None or not schema_diff(prev_schema, cur_schema):
+        return False
+    run_seq = ledger.reserve_run_seq()
+    path = os.path.join(output_dir, "violations")
+    schema_evolution_violations(spark, prev_schema, cur_schema).withColumn(
+        "run_seq", F.lit(run_seq)
+    ).withColumn("snapshot_id", F.lit(str(snap))).write.mode("append").parquet(path)
+    # advance ONLY the schema baseline + run log — snapshot_id and
+    # completed_parts are the validation planner's bookkeeping and a
+    # metadata-only run must not disturb them
+    state = ledger.load()
+    state["table_schema"] = cur_schema
+    state.setdefault("runs", []).append(
+        {"ts": time.time(), "run_seq": run_seq, "snapshot_id": snap,
+         "parts": [], "outputs": {"violations": path},
+         "schema_only": True}
+    )
+    ledger.save(state)
+    return True
 
 
 def run_validation_job(
@@ -467,27 +535,32 @@ def run_validation_job(
         todo = ledger.remaining_parts_incremental(snap, all_parts, fps)
     else:
         todo = ledger.remaining_parts(snap, all_parts)
+    cur_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    prev_schema = ledger.load().get("table_schema")
     if not todo:
+        # no data to (re-)validate — but an in-place schema change
+        # (the metadata-only evolution case) must still be reported
+        # and the recorded baseline advanced
+        record_schema_only_change(
+            spark, ledger, snap, prev_schema, cur_schema, output_dir
+        )
         return None
     result = run_suite(
         df, checks, part_col=part_col, parts=todo, violations_cap=violations_cap
     )
     # run lineage: every appended sink row carries which run (a
-    # monotonically increasing per-output-dir sequence) and which
-    # input snapshot produced it — the metrics history that
-    # plans/history.history_drift scores across runs
-    state0 = ledger.load()
-    run_seq = len(state0.get("runs", []))
+    # monotonically increasing per-output-dir sequence, RESERVED in
+    # the ledger before any sink write so a crash mid-job can never
+    # lead to a reused run_seq) and which input snapshot produced it
+    # — the metrics history that history_drift scores across runs
+    run_seq = ledger.reserve_run_seq()
     # undeclared schema evolution vs the previous run (metadata-only;
     # warning rows — the declared SchemaCheck stays the error gate)
     from anomaly_detection_toolkit_spark.plans.checks import (
         schema_evolution_violations,
     )
 
-    cur_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    evo = schema_evolution_violations(
-        spark, state0.get("table_schema"), cur_schema
-    )
+    evo = schema_evolution_violations(spark, prev_schema, cur_schema)
     outputs = {}
     for name, out_df in (
         ("verdicts", result.verdicts),
@@ -506,6 +579,7 @@ def run_validation_job(
         fingerprints={p: fps[p] for p in result.parts_checked if p in fps} or None,
         carry_fps=fps if incremental else None,
         table_schema=cur_schema,
+        run_seq=run_seq,
     )
     # outputs are materialized — release the shared narrow-projection
     # cache (violations/metrics stay persisted for the caller)

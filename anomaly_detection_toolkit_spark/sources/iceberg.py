@@ -255,7 +255,20 @@ def run_validation_job_iceberg(
         all_parts,
         part_col,
     )
+    cur_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     if not todo:
+        # Iceberg ALTER TABLE (add/rename/promote column) creates no
+        # new data files and often no data commit — the planner sees
+        # nothing to validate, but the in-place evolution must still
+        # be reported and the recorded schema baseline advanced
+        from anomaly_detection_toolkit_spark.plans.runner import (
+            record_schema_only_change,
+        )
+
+        record_schema_only_change(
+            spark, ledger, int(snap), state.get("table_schema"),
+            cur_schema, output_dir,
+        )
         return None
     result = run_suite(
         df,
@@ -265,15 +278,16 @@ def run_validation_job_iceberg(
         violations_cap=violations_cap,
     )
     # run lineage columns (see plans/runner.run_validation_job): here
-    # snapshot_id is the REAL Iceberg snapshot the read was pinned to
-    run_seq = len(state.get("runs", []))
+    # snapshot_id is the REAL Iceberg snapshot the read was pinned to,
+    # and the seq is reserved in the ledger BEFORE sink writes so a
+    # crash mid-job can never lead to a reused run_seq
+    run_seq = ledger.reserve_run_seq()
     # undeclared schema evolution vs the previous run's recorded
     # schema (Iceberg tables evolve schemas in-place; metadata-only)
     from anomaly_detection_toolkit_spark.plans.checks import (
         schema_evolution_violations,
     )
 
-    cur_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     evo = schema_evolution_violations(spark, state.get("table_schema"), cur_schema)
     outputs = {}
     for name, out_df in (
@@ -288,7 +302,7 @@ def run_validation_job_iceberg(
         outputs[name] = path
     record_iceberg(
         ledger, int(snap), result.parts_checked, set(todo), outputs,
-        table_schema=cur_schema,
+        table_schema=cur_schema, run_seq=run_seq,
     )
     for d in result.cached:
         d.unpersist()
@@ -302,6 +316,7 @@ def record_iceberg(
     planned_parts: set[int],
     outputs: dict[str, str],
     table_schema: dict[str, str] | None = None,
+    run_seq: int | None = None,
 ) -> None:
     """Advance the ledger to Iceberg snapshot ``snap``.
 
@@ -322,10 +337,11 @@ def record_iceberg(
     )
     if table_schema is not None:
         state["table_schema"] = table_schema
+    seq = len(state["runs"]) if run_seq is None else int(run_seq)
     state["runs"].append(
         {
             "ts": time.time(),
-            "run_seq": len(state["runs"]),
+            "run_seq": seq,
             "snapshot_id": snap,
             "parts": sorted(int(p) for p in validated_parts),
             "outputs": outputs,

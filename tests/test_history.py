@@ -228,10 +228,20 @@ def test_quarantine_and_clean_table(spark, tmp_path):
     cleaned = R.clean_table(df, result.violations)
     assert cleaned.count() == df.filter(~F.col("image_id").isin(id_set)).count()
     assert cleaned.filter(F.col("image_id").isin(id_set)).count() == 0
-    # warning-only violations don't quarantine
-    assert R.quarantine_ids(result.violations, levels=("error",)).count() == len(ids)
-    # id-table input path accepted too
-    pre = R.quarantine_ids(result.violations)
+    # warning-level violations must NOT quarantine by default: plant a
+    # warning row whose entity id is otherwise clean and check the
+    # level filter actually excludes it
+    planted = spark.createDataFrame(
+        [("demo", "warning", "w", "img_planted_warn", 0, "1", "t", "m")],
+        C.VIOLATION_SCHEMA,
+    )
+    both = result.violations.unionByName(planted)
+    assert R.quarantine_ids(both).count() == len(ids)
+    with_warn = R.quarantine_ids(both, levels=("error", "warning"))
+    assert with_warn.count() == len(ids) + 1
+    assert with_warn.filter(F.col("entity_id") == "img_planted_warn").count() == 1
+    # id-table input path accepted too (extra columns tolerated)
+    pre = R.quarantine_ids(result.violations).withColumn("reason", F.lit("x"))
     assert R.clean_table(df, pre).count() == cleaned.count()
     for d in (result.violations, result.metrics, *result.cached):
         d.unpersist()
@@ -283,3 +293,83 @@ def test_report_tool_renders_run_history(spark, tmp_path):
     assert "== ledger ==" in res.stdout and "runs 2" in res.stdout
     # schema map was recorded by the second run
     assert "schema cols 0" not in res.stdout
+
+
+def test_reserved_run_seq_never_reused_after_crash(spark, tmp_path):
+    """A job that dies between sink writes and ledger.record leaves
+    its reserved run_seq burned — the next run gets a FRESH seq, so
+    sink rows can never collide (history would double-count a run)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    images.write_images(spark, src, 200, n_parts=2)
+    suite = [C.ColumnStatsCheck({"w": {}})]
+    assert R.run_validation_job(spark, src, out, checks=suite)
+    led = R.Ledger(f"{out}/_ledger")
+    assert led.load()["next_run_seq"] == 1
+    # simulate a crashed job: seq reserved, sinks maybe written,
+    # record() never reached
+    assert led.reserve_run_seq() == 1
+    # force a re-run (snapshot "change") and check the new run skips
+    # the burned seq
+    state = led.load()
+    state["snapshot_id"] = "stale"
+    led.save(state)
+    assert R.run_validation_job(spark, src, out, checks=suite)
+    m = spark.read.parquet(f"{out}/metrics")
+    seqs = sorted(
+        r["run_seq"] for r in m.select("run_seq").distinct().collect()
+    )
+    assert seqs == [0, 2]  # seq 1 burned, not reused
+    assert led.load()["runs"][-1]["run_seq"] == 2
+
+
+def test_schema_only_change_is_recorded_without_a_validation_run(spark, tmp_path):
+    """Metadata-only evolution (Iceberg ALTER TABLE: no data commit,
+    empty todo) still emits the warning rows and advances the
+    recorded schema, without touching the planner's bookkeeping."""
+    out = str(tmp_path / "out")
+    led = R.Ledger(f"{out}/_ledger")
+    state = led.load()
+    state["snapshot_id"] = "snapA"
+    state["completed_parts"] = [0, 1]
+    state["table_schema"] = {"a": "int", "b": "string"}
+    led.save(state)
+
+    # no diff → no-op, nothing written
+    assert not R.record_schema_only_change(
+        spark, led, "snapA", {"a": "int", "b": "string"},
+        {"a": "int", "b": "string"}, out,
+    )
+    import os
+
+    assert not os.path.isdir(f"{out}/violations")
+
+    # a retype + an add → violations appended with a reserved seq;
+    # snapshot/completed_parts untouched
+    assert R.record_schema_only_change(
+        spark, led, "snapA", {"a": "int", "b": "string"},
+        {"a": "bigint", "b": "string", "c": "double"}, out,
+    )
+    v = spark.read.parquet(f"{out}/violations").collect()
+    assert {r["column"] for r in v} == {"a", "c"}
+    assert all(r["check"] == "schema_evolution" and r["run_seq"] == 0 for r in v)
+    state = led.load()
+    assert state["snapshot_id"] == "snapA"
+    assert state["completed_parts"] == [0, 1]
+    assert state["table_schema"]["c"] == "double"
+    assert state["runs"][-1]["schema_only"] is True
+
+
+def test_history_drift_drops_pre_lineage_rows(spark):
+    """NULL run_seq rows (sinks written before lineage existed) are
+    excluded from both modes — in rolling mode they'd otherwise enter
+    trailing frames in nondeterministic order."""
+    rows = [("s", 0, "m", 999.0, None)] + [
+        ("s", 0, "m", float(10 + i), i) for i in range(5)
+    ]
+    out = history_drift(_metrics(spark, rows), min_history=1).collect()
+    assert len(out) == 1 and out[0]["hist_n"] == 4  # the NULL row is gone
+    roll = history_drift(_metrics(spark, rows), rolling_window=3).collect()
+    assert len(roll) == 5
+    assert max(r["hist_n"] for r in roll) == 3
+    assert all(r["mu"] is None or r["mu"] < 100 for r in roll)  # 999 never enters

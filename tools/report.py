@@ -46,13 +46,24 @@ def main(argv: list[str] | None = None) -> int:
         print("verdicts predate run lineage (no run_seq column)", file=sys.stderr)
         return 2
 
+    # rows from sinks written before run lineage existed read as NULL
+    # run_seq under union_by_name — they can't be placed on the run
+    # axis, so report them as a count and exclude them from the trends
+    untagged = con.execute(
+        "SELECT count(*) FROM verdicts WHERE run_seq IS NULL"
+    ).fetchone()[0]
+    if untagged:
+        print(f"({untagged} pre-lineage verdict rows without run_seq excluded)")
+    newest = con.execute("SELECT max(run_seq) FROM verdicts").fetchone()[0]
+
     print(f"== runs (last {args.last}) ==")
     for seq, snap, cells, failed, parts in con.execute(
         """
         SELECT run_seq, any_value(snapshot_id), count(*),
                sum(CASE WHEN verdict = -1 THEN 1 ELSE 0 END),
                count(DISTINCT part)
-        FROM verdicts GROUP BY run_seq ORDER BY run_seq DESC LIMIT ?
+        FROM verdicts WHERE run_seq IS NOT NULL
+        GROUP BY run_seq ORDER BY run_seq DESC LIMIT ?
         """,
         [args.last],
     ).fetchall():
@@ -68,7 +79,7 @@ def main(argv: list[str] | None = None) -> int:
         WITH per AS (
           SELECT "check", run_seq,
                  sum(CASE WHEN verdict = -1 THEN 1 ELSE 0 END) AS failed
-          FROM verdicts GROUP BY 1, 2
+          FROM verdicts WHERE run_seq IS NOT NULL GROUP BY 1, 2
         )
         SELECT "check",
                list(run_seq || ':' || failed ORDER BY run_seq) AS trend
@@ -77,28 +88,37 @@ def main(argv: list[str] | None = None) -> int:
     ).fetchall():
         print(f"  {check:<24} {' '.join(trend[-args.last:])}")
 
-    if _rel(con, f"{out}/violations", "violations"):
+    # "newest run" below is anchored on the verdicts sink's max
+    # run_seq (always written per run) — a per-sink max would show an
+    # OLDER run's rows as current whenever the newest run was clean
+    # and contributed no rows to that sink
+    if newest is not None and _rel(con, f"{out}/violations", "violations"):
         rows = con.execute(
             """
             SELECT "check", level, count(*) FROM violations
-            WHERE run_seq = (SELECT max(run_seq) FROM violations)
-            GROUP BY 1, 2 ORDER BY 3 DESC LIMIT 10
-            """
+            WHERE run_seq = ? GROUP BY 1, 2 ORDER BY 3 DESC LIMIT 10
+            """,
+            [newest],
         ).fetchall()
-        if rows:
-            print("== newest run: violations by (check, level) ==")
-            for check, level, n in rows:
-                print(f"  {check:<24} {level:<8} {n}")
+        print(f"== newest run ({newest}): violations by (check, level) ==")
+        for check, level, n in rows:
+            print(f"  {check:<24} {level:<8} {n}")
+        if not rows:
+            print("  (none)")
 
-    if _rel(con, f"{out}/history_drift", "hd"):
+    if newest is not None and _rel(con, f"{out}/history_drift", "hd"):
         rows = con.execute(
             """
             SELECT "check", metric, part, value, z, hist_n FROM hd
-            WHERE run_seq = (SELECT max(run_seq) FROM hd) AND verdict = -1
+            WHERE run_seq = ? AND verdict = -1
             ORDER BY abs(z) DESC LIMIT 10
-            """
+            """,
+            [newest],
         ).fetchall()
-        print(f"== newest run: cross-run drift ({len(rows)} flagged cells) ==")
+        print(
+            f"== newest run ({newest}): cross-run drift "
+            f"({len(rows)} flagged cells) =="
+        )
         for check, metric, part, value, z, hist_n in rows:
             print(
                 f"  {check}/{metric} part={part} value={value:g} "

@@ -166,6 +166,15 @@ def main(argv: list[str] | None = None) -> int:
     dt = time.perf_counter() - t0
     if result is None:
         print(f"nothing to do: snapshot already fully validated ({dt:.1f}s)")
+        # history drift only needs the EXISTING metrics sink — honor
+        # the flag even when no new validation ran
+        if args.history_drift:
+            _run_history_drift(spark, args)
+        if args.quarantine:
+            print(
+                "quarantine: skipped — needs a validation run's "
+                "violations (nothing was validated)"
+            )
         return 0
     verdicts = result.verdicts.collect()
     n_fail = sum(1 for r in verdicts if r["verdict"] == -1)
@@ -179,12 +188,28 @@ def main(argv: list[str] | None = None) -> int:
     if args.quarantine:
         import os
 
-        from anomaly_detection_toolkit_spark.plans.runner import quarantine_ids
+        from pyspark.sql import functions as F
 
+        from anomaly_detection_toolkit_spark.plans.runner import (
+            Ledger,
+            quarantine_ids,
+        )
+
+        # tag the id list with the run that produced it (same lineage
+        # as the other sinks) so the dir can accumulate across runs
+        # without consumers anti-joining away ids from runs whose
+        # defects have since been fixed: read the NEWEST run's ids,
+        # not the whole dir
+        last = Ledger(os.path.join(args.output, "_ledger")).load()["runs"][-1]
         qpath = os.path.join(args.output, "quarantine_ids")
-        ids = quarantine_ids(result.violations)
+        ids = quarantine_ids(result.violations).withColumn(
+            "run_seq", F.lit(int(last["run_seq"]))
+        ).withColumn("snapshot_id", F.lit(str(last["snapshot_id"])))
         ids.write.mode("append").parquet(qpath)
-        print(f"quarantine: {ids.count()} entity ids -> {qpath}")
+        print(
+            f"quarantine: {ids.count()} entity ids "
+            f"(run_seq={last['run_seq']}) -> {qpath}"
+        )
     if args.history_drift:
         _run_history_drift(spark, args)
     return 0
