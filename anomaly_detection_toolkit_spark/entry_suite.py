@@ -955,3 +955,69 @@ def history_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("iqr_breach").cast("int").alias("iqr_flag"),
         F.col("verdict").cast("int").alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quarantine + clean-table, hash-gated end to end (register_extra):
+# uniqueness + referential violations over the suite-grid fact reduce
+# to the distinct error-level entity ids, and clean_table LEFT-ANTI
+# joins them away. The oracle re-derives the whole pipeline in SQL —
+# dup-key detection, orphan-caption detection, the id union and the
+# anti-join — so both the id derivation and the surviving row set are
+# value-hash checked. Output: one row per doc_key with its fate.
+# ---------------------------------------------------------------------------
+
+_QUARANTINE_SQL = r"""
+    WITH fact AS (
+      SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_key,
+             CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) % 16
+               AS phash16,
+             'see doc_' || CAST(CASE WHEN doc_id % 17 = 0
+                                     THEN doc_id + 1000000
+                                     WHEN doc_id >= 7 THEN doc_id - 7
+                                     ELSE doc_id END AS VARCHAR) AS caption
+      FROM documents
+    ),
+    dups AS (SELECT phash16 FROM fact GROUP BY 1 HAVING count(*) > 1),
+    dup_ids AS (
+      SELECT DISTINCT f.doc_key FROM fact f JOIN dups USING (phash16)
+    ),
+    orphan_ids AS (
+      SELECT DISTINCT f.doc_key FROM fact f
+      WHERE regexp_extract(f.caption, 'doc_\d+') <> ''
+        AND regexp_extract(f.caption, 'doc_\d+')
+            NOT IN (SELECT doc_key FROM fact)
+    ),
+    q AS (SELECT doc_key FROM dup_ids UNION SELECT doc_key FROM orphan_ids)
+    SELECT doc_key, 'quarantined' AS kind FROM q
+    UNION ALL
+    SELECT f.doc_key, 'kept'
+    FROM fact f WHERE f.doc_key NOT IN (SELECT doc_key FROM q)
+"""
+
+
+@register_extra("quarantine_clean_documents", _QUARANTINE_SQL)
+def quarantine_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quarantine_ids + clean_table over real check output: every
+    doc_key is either 'quarantined' (implicated in a phash16 dup or
+    an orphan caption) or 'kept' (survives the broadcast anti-join)."""
+    from anomaly_detection_toolkit_spark.plans.checks import (
+        ReferentialCheck,
+        UniquenessCheck,
+    )
+    from anomaly_detection_toolkit_spark.plans.runner import (
+        clean_table,
+        quarantine_ids,
+    )
+
+    fact = _suite_grid_fact(spark, sf_dir)
+    u = UniquenessCheck("phash16", entity_col="doc_key").run(fact)
+    r = ReferentialCheck(
+        caption_col="caption", ref_col="doc_key", pattern=r"(doc_\d+)"
+    ).run(fact)
+    viols = u.violations.unionByName(r.violations)
+    ids = quarantine_ids(viols)
+    kept = clean_table(fact, ids, entity_col="doc_key")
+    return ids.select(
+        F.col("entity_id").alias("doc_key"), F.lit("quarantined").alias("kind")
+    ).unionByName(kept.select("doc_key", F.lit("kept").alias("kind")))
