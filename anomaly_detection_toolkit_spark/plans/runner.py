@@ -462,6 +462,65 @@ class Ledger:
         return seq
 
 
+def compact_sinks(
+    spark: SparkSession,
+    output_dir: str,
+    sinks: tuple[str, ...] = (
+        "verdicts",
+        "violations",
+        "metrics",
+        "history_drift",
+        "quarantine_ids",
+    ),
+    target_files: int = 1,
+) -> dict[str, tuple[int, int]]:
+    """Rewrite each append-mode sink as ``target_files`` parquet files.
+
+    Every validation run appends a fresh file set to each sink; years
+    of daily runs on a 10^6-partition table turn the TINY aggregated
+    sinks into a classic small-files problem (listing + footer reads
+    dominate). The sinks stay small in BYTES, so compaction is a
+    single read→write of each (with ``mergeSchema`` so pre-lineage
+    rows keep their NULL ``run_seq``), verified by row count before
+    the swap; the previous files are kept as ``<sink>.bak`` until the
+    swap completes. Local-filesystem semantics — on Iceberg-backed
+    sinks use the catalog's ``rewrite_data_files`` instead.
+
+    Returns ``{sink: (rows, files_before)}`` for what was compacted.
+    """
+    import shutil
+
+    done: dict[str, tuple[int, int]] = {}
+    for sink in sinks:
+        path = os.path.join(output_dir, sink)
+        if not os.path.isdir(path):
+            continue
+        n_files = sum(
+            1
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        df = spark.read.option("mergeSchema", "true").parquet(path)
+        tmp = path + ".compact.tmp"
+        df.coalesce(max(1, int(target_files))).write.mode("overwrite").parquet(tmp)
+        n_before = df.count()
+        n_after = spark.read.parquet(tmp).count()
+        if n_after != n_before:  # pragma: no cover - defensive
+            shutil.rmtree(tmp)
+            raise RuntimeError(
+                f"compaction of {sink} lost rows ({n_before} -> {n_after})"
+            )
+        bak = path + ".bak"
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)
+        os.rename(path, bak)
+        os.rename(tmp, path)
+        shutil.rmtree(bak)
+        done[sink] = (n_after, n_files)
+    return done
+
+
 def record_schema_only_change(
     spark: SparkSession,
     ledger: "Ledger",

@@ -373,3 +373,53 @@ def test_history_drift_drops_pre_lineage_rows(spark):
     assert len(roll) == 5
     assert max(r["hist_n"] for r in roll) == 3
     assert all(r["mu"] is None or r["mu"] < 100 for r in roll)  # 999 never enters
+
+
+def test_compact_sinks_preserves_rows_and_reduces_files(spark, tmp_path):
+    """Append-mode sinks compact to one file per sink with identical
+    row sets; mergeSchema keeps pre-lineage rows; report still reads."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    images.write_images(spark, src, 300, n_parts=2)
+    suite = [C.UniquenessCheck("image_id", entity_col="image_id")]
+    assert R.run_validation_job(spark, src, out, checks=suite, incremental=True)
+    shutil.copytree(f"{src}/part=1", f"{src}/part=2")
+    assert R.run_validation_job(spark, src, out, checks=suite, incremental=True)
+
+    def rows(sink):
+        return sorted(
+            map(str, spark.read.option("mergeSchema", "true")
+                .parquet(f"{out}/{sink}").collect())
+        )
+
+    def files(sink):
+        return sum(
+            1
+            for _, _, fs in os.walk(f"{out}/{sink}")
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before = {s: rows(s) for s in ("verdicts", "violations", "metrics")}
+    assert all(files(s) > 1 for s in before)  # two runs appended
+
+    done = R.compact_sinks(spark, out)
+    assert set(before) <= set(done)
+    for s, snapshot in before.items():
+        assert rows(s) == snapshot, s
+        assert files(s) == 1, s
+        assert not os.path.isdir(f"{out}/{s}.bak")
+        assert not os.path.isdir(f"{out}/{s}.compact.tmp")
+
+    repo = Path(__file__).resolve().parent.parent
+    res = subprocess.run(
+        [sys.executable, str(repo / "tools" / "report.py"), out],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert res.returncode == 0 and "run   1" in res.stdout

@@ -139,4 +139,8 @@ def main(argv: list[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
+    # behave like a normal unix filter under `| head`
+    import signal
+
+    signal.signal(signal.SIGPIPE, signal.SIG_DFL)
     raise SystemExit(main())

@@ -114,6 +114,14 @@ def main(argv: list[str] | None = None) -> int:
         "list must be complete",
     )
     ap.add_argument(
+        "--compact-sinks",
+        action="store_true",
+        help="after the run, rewrite each append-mode sink as one "
+        "parquet file (years of appended runs = small-files problem; "
+        "the sinks are tiny in bytes). Parquet-dir sinks only — on "
+        "Iceberg use rewrite_data_files",
+    )
+    ap.add_argument(
         "--violations-cap",
         type=int,
         default=None,
@@ -175,6 +183,8 @@ def main(argv: list[str] | None = None) -> int:
                 "quarantine: skipped — needs a validation run's "
                 "violations (nothing was validated)"
             )
+        if args.compact_sinks:
+            _compact(spark, args)
         return 0
     verdicts = result.verdicts.collect()
     n_fail = sum(1 for r in verdicts if r["verdict"] == -1)
@@ -212,7 +222,17 @@ def main(argv: list[str] | None = None) -> int:
         )
     if args.history_drift:
         _run_history_drift(spark, args)
+    if args.compact_sinks:
+        _compact(spark, args)
     return 0
+
+
+def _compact(spark, args) -> None:
+    from anomaly_detection_toolkit_spark.plans.runner import compact_sinks
+
+    done = compact_sinks(spark, args.output)
+    for sink, (rows, files_before) in done.items():
+        print(f"compacted {sink}: {files_before} files -> 1 ({rows} rows)")
 
 
 def _run_history_drift(spark, args) -> None:
