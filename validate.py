@@ -273,7 +273,31 @@ def _run_history_drift(spark, args) -> None:
         ),
     ).persist()
     scored.write.mode("append").parquet(os.path.join(args.output, "history_drift"))
-    flagged = history_violations(scored).collect()
+    # flagged cells ALSO land in the main violations sink (tagged with
+    # the scored run's lineage) so one consumer sees every finding —
+    # report.py's newest-run section includes them alongside the
+    # in-run checks
+    cur = scored.agg(F.max("run_seq")).first()[0]
+    if cur is None:
+        print("history-drift: no scorable cells")
+        scored.unpersist()
+        return
+    from anomaly_detection_toolkit_spark.plans.runner import Ledger
+
+    runs = Ledger(os.path.join(args.output, "_ledger")).load().get("runs", [])
+    snap_id = next(
+        (str(r["snapshot_id"]) for r in reversed(runs)
+         if int(r.get("run_seq", -1)) == int(cur)),
+        None,
+    )
+    viol = (
+        history_violations(scored)
+        .withColumn("run_seq", F.lit(int(cur)))
+        .withColumn("snapshot_id", F.lit(snap_id))
+    )
+    flagged = viol.collect()
+    if flagged:  # don't append an empty file set on calm runs
+        viol.write.mode("append").parquet(os.path.join(args.output, "violations"))
     print(
         f"history-drift: scored {scored.count()} cells vs history, "
         f"{len(flagged)} drifted"
