@@ -498,8 +498,11 @@ _DRIFT_PRIM_SQL = r"""
                / (CASE WHEN sqrt(greatest(st.msq - st.mu * st.mu, 0)) > 0
                        THEN sqrt(greatest(st.msq - st.mu * st.mu, 0))
                        ELSE 1 END) AS az,
-             CAST(pv.pv < st.q1 - 1.5 * (st.q3 - st.q1)
-                  OR pv.pv > st.q3 + 1.5 * (st.q3 - st.q1) AS INTEGER) AS br
+             CAST(pv.pv < st.q1 - 1.5 * (CASE WHEN st.q3 - st.q1 = 0
+                                              THEN 1.0 ELSE st.q3 - st.q1 END)
+                  OR pv.pv > st.q3 + 1.5 * (CASE WHEN st.q3 - st.q1 = 0
+                                                 THEN 1.0 ELSE st.q3 - st.q1 END)
+                  AS INTEGER) AS br
       FROM pv JOIN st ON pv.col = st.col AND pv.bucket = st.bucket
     ),
     agg AS (
@@ -620,8 +623,11 @@ _DRIFT_ROLL_SQL = r"""
     z AS (
       SELECT col, part,
              abs(pv - mu) / (CASE WHEN sd > 0 THEN sd ELSE 1 END) AS az,
-             CAST(pv < q1 - 1.5 * (q3 - q1)
-                  OR pv > q3 + 1.5 * (q3 - q1) AS INTEGER) AS br
+             CAST(pv < q1 - 1.5 * (CASE WHEN q3 - q1 = 0
+                                        THEN 1.0 ELSE q3 - q1 END)
+                  OR pv > q3 + 1.5 * (CASE WHEN q3 - q1 = 0
+                                           THEN 1.0 ELSE q3 - q1 END)
+                  AS INTEGER) AS br
       FROM (
         SELECT col, part, pv, q1, q3, s1 / n AS mu,
                sqrt(greatest(
@@ -875,7 +881,10 @@ _HISTORY_DRIFT_SQL = r"""
              CASE WHEN hist_n > 0
                   THEN sqrt(greatest(msq - mu * mu, 0)) END AS sd,
              q1, q3,
-             q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+             q1 - 1.5 * (CASE WHEN q3 - q1 = 0 THEN 1.0 ELSE q3 - q1 END)
+               AS lo,
+             q3 + 1.5 * (CASE WHEN q3 - q1 = 0 THEN 1.0 ELSE q3 - q1 END)
+               AS hi
       FROM st WHERE has_cur = 1
     ),
     z AS (

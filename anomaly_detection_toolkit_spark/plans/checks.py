@@ -795,7 +795,10 @@ class DriftCheck(Check):
                 F.percentile(F.col("pv"), F.lit(0.75)).over(wspec).alias("q3"),
             )
         k = F.lit(float(self.iqr_k) if self.iqr_k is not None else 1.5)
-        iqr = F.col("q3") - F.col("q1")
+        # the reference's degenerate-IQR guard (IQROutlierDetector.fit,
+        # statistical.py:129-130): q1==q3 → fence width 1.0, not 0
+        iqr_raw = F.col("q3") - F.col("q1")
+        iqr = F.when(iqr_raw == 0, F.lit(1.0)).otherwise(iqr_raw)
         scored = based.withColumn(
             "z",
             (F.col("pv") - F.col("mu"))

@@ -132,7 +132,11 @@ def history_drift(
 
     sd = F.sqrt(F.greatest(F.col("msq") - F.col("mu") * F.col("mu"), F.lit(0.0)))
     k = F.lit(float(iqr_k))
-    iqr = F.col("q3") - F.col("q1")
+    # the reference's degenerate-IQR guard (IQROutlierDetector.fit,
+    # statistical.py:129-130): constant history → q1==q3 → fence
+    # width falls back to 1.0 instead of collapsing to zero
+    iqr_raw = F.col("q3") - F.col("q1")
+    iqr = F.when(iqr_raw == 0, F.lit(1.0)).otherwise(iqr_raw)
     out = (
         scored.withColumn("sd", sd)
         .withColumn(

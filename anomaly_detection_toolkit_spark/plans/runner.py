@@ -440,7 +440,14 @@ class Ledger:
             pf.update({str(p): v for p, v in fingerprints.items()})
         if table_schema is not None:
             state["table_schema"] = table_schema
-        seq = len(state["runs"]) if run_seq is None else int(run_seq)
+        # default past BOTH the run log and any burned reservation —
+        # a crashed job's reserved seq tagged sink rows, so minting it
+        # again would collide in every history baseline
+        seq = (
+            max(len(state["runs"]), int(state.get("next_run_seq", 0)))
+            if run_seq is None
+            else int(run_seq)
+        )
         state["runs"].append(
             {"ts": time.time(), "run_seq": seq,
              "snapshot_id": snap, "parts": sorted(parts),
@@ -486,21 +493,33 @@ def compact_sinks(
     swap completes. Local-filesystem semantics — on Iceberg-backed
     sinks use the catalog's ``rewrite_data_files`` instead.
 
+    Concurrency: compaction is NOT safe against a validation run
+    appending to the same sink mid-compaction — files landing after
+    the initial listing would be silently dropped by the swap. The
+    file listing is therefore re-checked immediately before the swap
+    and the sink is skipped (reported under ``"skipped"``) if it
+    changed; the unavoidable two-rename gap where the sink path is
+    briefly absent is kept to the two syscalls, and a crash in the
+    gap leaves ``<sink>.bak`` intact for manual recovery.
+
     Returns ``{sink: (rows, files_before)}`` for what was compacted.
     """
     import shutil
+
+    def _listing(p: str) -> set[str]:
+        return {
+            os.path.relpath(os.path.join(root, f), p)
+            for root, _, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        }
 
     done: dict[str, tuple[int, int]] = {}
     for sink in sinks:
         path = os.path.join(output_dir, sink)
         if not os.path.isdir(path):
             continue
-        n_files = sum(
-            1
-            for root, _, files in os.walk(path)
-            for f in files
-            if f.endswith(".parquet")
-        )
+        files_before = _listing(path)
         df = spark.read.option("mergeSchema", "true").parquet(path)
         tmp = path + ".compact.tmp"
         df.coalesce(max(1, int(target_files))).write.mode("overwrite").parquet(tmp)
@@ -511,13 +530,20 @@ def compact_sinks(
             raise RuntimeError(
                 f"compaction of {sink} lost rows ({n_before} -> {n_after})"
             )
+        if _listing(path) != files_before:
+            # a concurrent run appended (or pruned) files after the
+            # read — swapping now would silently lose those rows
+            shutil.rmtree(tmp)
+            done.setdefault("skipped", (0, 0))
+            done["skipped"] = (done["skipped"][0] + 1, 0)
+            continue
         bak = path + ".bak"
         if os.path.isdir(bak):
             shutil.rmtree(bak)
         os.rename(path, bak)
         os.rename(tmp, path)
         shutil.rmtree(bak)
-        done[sink] = (n_after, n_files)
+        done[sink] = (n_after, len(files_before))
     return done
 
 

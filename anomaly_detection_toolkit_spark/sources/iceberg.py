@@ -330,14 +330,28 @@ def record_iceberg(
         state = {
             "snapshot_id": snap,
             "completed_parts": keep,
-            "runs": state.get("runs", []),
+            # run history, the reserved-seq counter and the schema
+            # baseline all survive snapshot advances (same keep-set as
+            # Ledger.record — dropping next_run_seq here would let a
+            # burned reservation's seq be minted again)
+            **{
+                k: state[k]
+                for k in ("runs", "next_run_seq", "table_schema")
+                if k in state
+            },
         }
     state["completed_parts"] = sorted(
         set(state["completed_parts"]) | set(int(p) for p in validated_parts)
     )
     if table_schema is not None:
         state["table_schema"] = table_schema
-    seq = len(state["runs"]) if run_seq is None else int(run_seq)
+    # same default rule as Ledger.record: never re-mint a seq a
+    # crashed job already burned via reserve_run_seq
+    seq = (
+        max(len(state["runs"]), int(state.get("next_run_seq", 0)))
+        if run_seq is None
+        else int(run_seq)
+    )
     state["runs"].append(
         {
             "ts": time.time(),
@@ -347,4 +361,5 @@ def record_iceberg(
             "outputs": outputs,
         }
     )
+    state["next_run_seq"] = max(int(state.get("next_run_seq", 0)), seq + 1)
     ledger.save(state)

@@ -78,7 +78,7 @@ def test_iqr_breaches_match_numpy(planted, pmat):
     rows = drift_table(planted, iqr_k=1.5)
     q1 = np.percentile(pmat, 25, axis=0)  # numpy linear == Spark percentile
     q3 = np.percentile(pmat, 75, axis=0)
-    iqr = q3 - q1
+    iqr = np.where(q3 - q1 == 0, 1.0, q3 - q1)  # reference's iqr==0→1.0 guard
     breach = (pmat < q1 - 1.5 * iqr) | (pmat > q3 + 1.5 * iqr)
     for part in range(N_PARTS):
         assert rows[part]["iqr_breaches"] == int(breach[part].sum())
@@ -133,7 +133,7 @@ def rolling_expected(pmat: np.ndarray, window: int):
         zmax[t] = np.abs((pmat[t] - mu) / np.where(sd > 0, sd, 1.0)).max()
         q1 = np.percentile(frame, 25, axis=0)
         q3 = np.percentile(frame, 75, axis=0)
-        iqr = q3 - q1
+        iqr = np.where(q3 - q1 == 0, 1.0, q3 - q1)  # iqr==0→1.0 guard
         breaches[t] = int(
             ((pmat[t] < q1 - 1.5 * iqr) | (pmat[t] > q3 + 1.5 * iqr)).sum()
         )

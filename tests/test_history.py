@@ -52,8 +52,9 @@ def test_global_mode_matches_numpy(spark):
 def test_sigma_zero_guard_and_min_history(spark):
     rows = (
         # constant history, σ=0 → divide by 1 (the reference's guard):
-        # z = value − mu = 2 < 3 → no z flag, but IQR fences are
-        # degenerate (width 0) → iqr_breach flags it
+        # z = value − mu = 2 < 3 → no z flag; IQR is degenerate so the
+        # reference's iqr==0→1.0 guard gives fences [3.5, 6.5] and
+        # value 7 still breaches
         [("a", 0, "m", 5.0, i) for i in range(4)]
         + [("a", 0, "m", 7.0, 4)]
         # only 2 history points → below min_history, never flags

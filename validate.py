@@ -256,6 +256,22 @@ def _run_history_drift(spark, args) -> None:
     if "run_seq" not in metrics.columns:
         print("history-drift: metrics sink has no run_seq lineage yet")
         return
+    # a crashed job can leave sink rows tagged with a burned run_seq
+    # the ledger never recorded — those partial-run rows must not
+    # count as a full run in every future baseline, so the history is
+    # restricted to ledger-recorded seqs (tiny in-clause: the run log
+    # is driver-side state already)
+    from anomaly_detection_toolkit_spark.plans.runner import Ledger as _L
+
+    recorded = {
+        int(r["run_seq"])
+        for r in _L(os.path.join(args.output, "_ledger")).load().get("runs", [])
+        if r.get("run_seq") is not None
+    }
+    if recorded:
+        metrics = metrics.filter(
+            F.col("run_seq").isin([int(s) for s in recorded])
+        )
     n_runs = metrics.select("run_seq").where(F.col("run_seq").isNotNull()).distinct().count()
     if n_runs < 2:
         print(f"history-drift: {n_runs} tagged run(s) — nothing to compare yet")
@@ -293,7 +309,7 @@ def _run_history_drift(spark, args) -> None:
     viol = (
         history_violations(scored)
         .withColumn("run_seq", F.lit(int(cur)))
-        .withColumn("snapshot_id", F.lit(snap_id))
+        .withColumn("snapshot_id", F.lit(snap_id).cast("string"))
     )
     flagged = viol.collect()
     if flagged:  # don't append an empty file set on calm runs
