@@ -186,18 +186,38 @@ _QUALITY_LANGID_SQL = f"""
     hl AS (
       SELECT doc_id, {_LANGID_COLS_SQL}
       FROM h
+    ),
+    fp AS (
+      SELECT doc_id,
+             md5({NORM_SQL}) AS fingerprint,
+             {HASH60_SQL.format(x=f'md5({NORM_SQL})')} AS fingerprint60
+      FROM documents
     )
-    SELECT q.*, hl.pred_lang, hl.hits_en, hl.hits_de, hl.hits_fr, hl.hits_es
-    FROM q JOIN hl USING (doc_id)
+    SELECT q.*, hl.pred_lang, hl.hits_en, hl.hits_de, hl.hits_fr, hl.hits_es,
+           fp.fingerprint, fp.fingerprint60
+    FROM q JOIN hl USING (doc_id) JOIN fp USING (doc_id)
 """
 
 
 @register("text_quality_langid_documents", _QUALITY_LANGID_SQL)
 def text_quality_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + language-ID + document fingerprints in one
+    per-document row set (round 4 folded text_fingerprint_documents in
+    as well — all three are codegen'd projections over one scan; the
+    standalone fingerprint pair stays under register_extra)."""
     df = load_table(spark, "documents", sf_dir)
-    out = text.add_lang_id(text.quality_features(df))
+    out = text.add_fingerprints(text.add_lang_id(text.quality_features(df)))
     return _quality_select(
-        out, extra=["pred_lang", "hits_en", "hits_de", "hits_fr", "hits_es"]
+        out,
+        extra=[
+            "pred_lang",
+            "hits_en",
+            "hits_de",
+            "hits_fr",
+            "hits_es",
+            "fingerprint",
+            "fingerprint60",
+        ],
     )
 
 
@@ -214,7 +234,7 @@ _FP_SQL = f"""
 """
 
 
-@register("text_fingerprint_documents", _FP_SQL)
+@register_extra("text_fingerprint_documents", _FP_SQL)
 def text_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, "documents", sf_dir)
     return text.add_fingerprints(df).select("doc_id", "fingerprint", "fingerprint60")
@@ -324,7 +344,10 @@ _MINHASH_SIG_SQL = f"""
 """
 
 
-@register("dedup_minhash_sig_documents", _MINHASH_SIG_SQL)
+# round 4: retired to register_extra — the driver-gated LSH-pairs and
+# clusters pairs consume these signatures bit-exactly, so the
+# standalone signature dump is redundant in-window coverage
+@register_extra("dedup_minhash_sig_documents", _MINHASH_SIG_SQL)
 def dedup_minhash_sig_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, "documents", sf_dir)
     return dedup.minhash_signatures_exploded(df, "text", "doc_id", _NUM_PERM, 3).select(
@@ -474,7 +497,7 @@ _INCR_PAIRS_SQL = f"""
 """
 
 
-@register_extra("dedup_incremental_lsh_documents", _INCR_PAIRS_SQL)
+@register("dedup_incremental_lsh_documents", _INCR_PAIRS_SQL)
 def dedup_incremental_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, "documents", sf_dir)
     batch = df.filter(F.col("doc_id") % 7 == 0)
@@ -543,13 +566,13 @@ _CHUNKS_SQL = f"""
 """
 
 
-@register_extra("corpus_pack_documents", _PACK_SQL)
+@register("corpus_pack_documents", _PACK_SQL)
 def corpus_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, "documents", sf_dir)
     return curation.pack_documents(df, budget=_PACK_BUDGET)
 
 
-@register_extra("corpus_chunk_assignments_documents", _CHUNKS_SQL)
+@register("corpus_chunk_assignments_documents", _CHUNKS_SQL)
 def corpus_chunk_assignments_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, "documents", sf_dir)
     packed = curation.pack_documents(df, budget=_PACK_BUDGET)
@@ -572,7 +595,7 @@ _STRAT_SQL = f"""
 """
 
 
-@register_extra("corpus_stratified_sample_documents", _STRAT_SQL)
+@register("corpus_stratified_sample_documents", _STRAT_SQL)
 def corpus_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, "documents", sf_dir)
     out = curation.stratified_sample(

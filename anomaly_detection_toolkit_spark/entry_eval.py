@@ -67,7 +67,7 @@ _VOTE_SQL = f"""
 """
 
 
-@register("ensemble_vote_events", _VOTE_SQL)
+@register_extra("ensemble_vote_events", _VOTE_SQL)
 def ensemble_vote_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, "events", sf_dir)
     ens = VotingEnsemble(
@@ -104,7 +104,7 @@ _SCORE_THR_SQL = f"""
 """
 
 
-@register("ensemble_score_threshold_events", _SCORE_THR_SQL)
+@register_extra("ensemble_score_threshold_events", _SCORE_THR_SQL)
 def ensemble_score_threshold_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, "events", sf_dir)
     ens = EnsembleDetector(
@@ -114,6 +114,59 @@ def ensemble_score_threshold_events(spark: SparkSession, sf_dir: str) -> DataFra
     return ens.transform(df).select(
         "event_id", r4(F.col("score")).alias("score"), "verdict"
     )
+
+
+# round-4 driver-gate merge of ensemble_vote_events (ops 32-35) and
+# ensemble_score_threshold_events (op 36): one per-event row set with
+# the voting columns AND the 95th-percentile score-threshold verdict
+# (the combined score equals score_mean, so the thr pair's only new
+# signal is its verdict). Both originals stay under register_extra.
+_ENSEMBLE_SQL = f"""
+    WITH {_MEMBERS_CTE},
+    thr AS (SELECT quantile_cont((z + iq) / 2.0, 0.95) AS t95 FROM m)
+    SELECT m.event_id,
+           CAST((CASE WHEN z > 3.0 THEN 1 ELSE 0 END)
+                + (CASE WHEN iq >= 1.0 THEN 1 ELSE 0 END) AS INTEGER) AS votes,
+           round((z + iq) / 2.0, 4) AS score_mean,
+           round((least(z, iq) + greatest(z, iq)) / 2.0, 4) AS score_median,
+           round(greatest(z, iq), 4) AS score_max,
+           round(least(z, iq), 4) AS score_min,
+           CAST(CASE WHEN (CASE WHEN z > 3.0 THEN 1 ELSE 0 END)
+                          + (CASE WHEN iq >= 1.0 THEN 1 ELSE 0 END) >= 2
+                     THEN -1 ELSE 1 END AS INTEGER) AS vote_verdict,
+           CAST(CASE WHEN (m.z + m.iq) / 2.0 > thr.t95 THEN -1 ELSE 1 END AS INTEGER)
+             AS thr_verdict
+    FROM m, thr
+"""
+
+
+@register("ensemble_events", _ENSEMBLE_SQL)
+def ensemble_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, "events", sf_dir)
+    ens = VotingEnsemble(
+        [ZScoreDetector(threshold=3.0), IQROutlierDetector(factor=1.5)],
+        voting_threshold=2,
+    ).fit(df, ["value"])
+    out = ens.transform(df)
+    from anomaly_detection_toolkit_spark.operators.ensemble import vote_count
+
+    thr = EnsembleDetector(
+        [ZScoreDetector(threshold=3.0), IQROutlierDetector(factor=1.5)],
+        combination_method="mean",
+    ).fit(df, ["value"])
+    thr_out = thr.transform(df).select(
+        "event_id", F.col("verdict").alias("thr_verdict")
+    )
+    voted = out.select(
+        "event_id",
+        vote_count(["verdict_0", "verdict_1"]).alias("votes"),
+        r4(F.col("score")).alias("score_mean"),
+        r4(combine_scores(["score_0", "score_1"], "median")).alias("score_median"),
+        r4(combine_scores(["score_0", "score_1"], "max")).alias("score_max"),
+        r4(combine_scores(["score_0", "score_1"], "min")).alias("score_min"),
+        F.col("verdict").alias("vote_verdict"),
+    )
+    return voted.join(thr_out, "event_id")
 
 
 # ---------------------------------------------------------------------------

@@ -1078,7 +1078,7 @@ _SDEDUP_SQL = """
 """
 
 
-@register_extra("streaming_dedup_documents", _SDEDUP_SQL)
+@register("streaming_dedup_documents", _SDEDUP_SQL)
 def streaming_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-seen-wins streaming dedup over a 3-batch replay: state
     (one row per fingerprint inside the watermark horizon) must

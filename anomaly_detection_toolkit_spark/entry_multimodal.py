@@ -201,7 +201,7 @@ def _av_pipeline_oracle_sql() -> str:
     """
 
 
-@register_extra("multimodal_av_pipeline", _av_pipeline_oracle_sql)
+@register("multimodal_av_pipeline", _av_pipeline_oracle_sql)
 def multimodal_av_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio decode → RMS/peak/ZCR features AND video decode →
     every-2nd-frame sampling over the deterministic clip table, joined

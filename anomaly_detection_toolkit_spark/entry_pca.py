@@ -404,7 +404,11 @@ def _pca8_sql(d: int = 8) -> str:
     """
 
 
-@register("pca_maha8d_full_embeddings", _pca8_sql(8))
+# round 4: retired to register_extra — pca_partialrank_embeddings
+# gates the same scaler/eigh/Mahalanobis path through the harder
+# in-DuckDB Jacobi oracle, so this Gauss-Jordan replay is redundant
+# in-window coverage
+@register_extra("pca_maha8d_full_embeddings", _pca8_sql(8))
 def pca_maha8d_full_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _embedding_features(spark, sf_dir).withColumnRenamed("vec_id", "id")
     det = PCADetector(n_components=_PCA_DIMS, score_method="mahalanobis").fit(

@@ -71,11 +71,14 @@ def r4(col):
 # SURVEY §2 ops 6-10: z-score + IQR fence detectors, one row set
 # (merged from two round-2 green pairs to free a slot in the driver's
 # 50-query gate window; both detectors scan the same table at the
-# same grain, so the merge loses no coverage)
+# same grain, so the merge loses no coverage). Round 4 merged the
+# seasonal-baseline detector in as well (same table, same per-event
+# grain) — the three-way pair registers as detect_stat_events; the
+# two originals stay locally hash-verified under register_extra.
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "detect_zscore_iqr_events",
     """
     WITH s AS (
@@ -123,7 +126,7 @@ def detect_zscore_iqr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "detect_seasonal_hour_events",
     """
     WITH s AS (
@@ -146,6 +149,80 @@ def detect_seasonal_hour_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     det.fit(df, ["value"], date_col="ts")
     return det.transform(df).select(
         "event_id", r4(F.col("score")).alias("score"), "verdict"
+    )
+
+
+@register(
+    "detect_stat_events",
+    """
+    WITH s AS (
+      SELECT avg(value) AS mu, stddev_pop(value) AS sigma FROM events
+    ), q AS (
+      SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+      FROM events
+    ), f AS (
+      SELECT q1, q3,
+             CASE WHEN (q3 - q1) = 0 THEN 1.0 ELSE (q3 - q1) END AS iqr
+      FROM q
+    ), sea AS (
+      SELECT hour(ts) AS seasonal_key,
+             avg(value) AS m,
+             CASE WHEN coalesce(stddev_samp(value), 0.0) = 0.0
+                  THEN 1.0 ELSE stddev_samp(value) END AS sd
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id,
+           round(abs((e.value - s.mu) / (CASE WHEN s.sigma = 0 OR s.sigma IS NULL
+                                              THEN 1.0 ELSE s.sigma END)), 4) AS z_score,
+           CAST(CASE WHEN abs((e.value - s.mu) / (CASE WHEN s.sigma = 0 OR s.sigma IS NULL
+                                                       THEN 1.0 ELSE s.sigma END)) > 3.0
+                     THEN -1 ELSE 1 END AS INTEGER) AS z_verdict,
+           CASE WHEN e.value < (f.q1 - 1.5 * f.iqr) OR e.value > (f.q3 + 1.5 * f.iqr)
+                THEN 1.0 ELSE 0.0 END AS iqr_score,
+           CAST(CASE WHEN e.value < (f.q1 - 1.5 * f.iqr) OR e.value > (f.q3 + 1.5 * f.iqr)
+                     THEN -1 ELSE 1 END AS INTEGER) AS iqr_verdict,
+           round(coalesce(abs((e.value - sea.m) / sea.sd), 0.0), 4) AS seasonal_score,
+           CAST(CASE WHEN coalesce(abs((e.value - sea.m) / sea.sd), 0.0) > 3.0
+                     THEN -1 ELSE 1 END AS INTEGER) AS seasonal_verdict
+    FROM events e
+    LEFT JOIN sea ON hour(e.ts) = sea.seasonal_key, s, f
+    """,
+)
+def detect_stat_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three statistical detectors (z-score / IQR fences / seasonal
+    baseline) over one scan of the events table at the per-event
+    grain — the round-4 driver-gate merge of detect_zscore_iqr_events
+    and detect_seasonal_hour_events (both kept under register_extra)."""
+    df = load_table(spark, "events", sf_dir)
+    z = ZScoreDetector(threshold=3.0).fit(df, ["value"])
+    iqr = IQROutlierDetector(factor=1.5, exact=True).fit(df, ["value"])
+    sea = SeasonalBaselineDetector(season="hour", threshold_sigma=3.0)
+    sea.fit(df, ["value"], date_col="ts")
+    # chained transforms: every detector's stats broadcast onto the
+    # same scan — no per-event join between detector outputs
+    out = (
+        z.transform(df)
+        .withColumnRenamed("score", "z_score")
+        .withColumnRenamed("verdict", "z_verdict")
+    )
+    out = (
+        iqr.transform(out)
+        .withColumnRenamed("score", "iqr_score")
+        .withColumnRenamed("verdict", "iqr_verdict")
+    )
+    out = (
+        sea.transform(out)
+        .withColumnRenamed("score", "seasonal_score")
+        .withColumnRenamed("verdict", "seasonal_verdict")
+    )
+    return out.select(
+        "event_id",
+        r4(F.col("z_score")).alias("z_score"),
+        "z_verdict",
+        "iqr_score",
+        "iqr_verdict",
+        r4(F.col("seasonal_score")).alias("seasonal_score"),
+        "seasonal_verdict",
     )
 
 
@@ -214,11 +291,14 @@ def column_quantile_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SURVEY §2 ops 37/38/45: grouped rolling window statistics
+# SURVEY §2 ops 37/38/45: grouped rolling window statistics.
+# Round 4: merged with pm_change_events (ops 39/40/46 — same scan,
+# same window partition/order) into pm_rolling_change_events below to
+# free a driver-gate slot; the originals stay under register_extra.
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "pm_rolling_events",
     """
     SELECT event_id,
@@ -257,7 +337,7 @@ def pm_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "pm_change_events",
     """
     SELECT event_id,
@@ -283,12 +363,68 @@ def pm_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# SURVEY §2 ops 43/44: RUL + health labels (lineitem as the asset panel)
-# ---------------------------------------------------------------------------
-
-
 @register(
+    "pm_rolling_change_events",
+    """
+    SELECT event_id,
+           round(avg(value) OVER w5, 4) AS rmean,
+           round(stddev_samp(value) OVER w5, 4) AS rstd,
+           round(min(value) OVER w5, 4) AS rmin,
+           round(max(value) OVER w5, 4) AS rmax,
+           round(quantile_cont(value, 0.5) OVER w5, 4) AS rmedian,
+           round(value - lag(value, 1) OVER w, 4) AS diff1,
+           round((value - lag(value, 1) OVER w)
+                 - (lag(value, 1) OVER w - lag(value, 2) OVER w), 4) AS diff2,
+           round((value - lag(value, 1) OVER w) / nullif(lag(value, 1) OVER w, 0), 4)
+             AS pct_change,
+           round((value - lag(value, 5) OVER w) / nullif(lag(value, 5) OVER w, 0), 4)
+             AS roc_5
+    FROM events
+    WINDOW w5 AS (PARTITION BY event_type ORDER BY ts, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+           w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    """,
+)
+def pm_rolling_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling stats (ops 37/38/45) + diff/pct_change/rate-of-change
+    (ops 39/40/46) in one per-event row set — the round-4 driver-gate
+    merge of pm_rolling_events and pm_change_events (both kept under
+    register_extra). Both feature families share the same window
+    partition/order, so Spark computes them over ONE shuffle."""
+    df = load_table(spark, "events", sf_dir)
+    out = pm.rolling_stats(
+        df,
+        ["value"],
+        [5],
+        partition_by=["event_type"],
+        order_by=["ts", "event_id"],
+        stats=("mean", "std", "min", "max", "median"),
+    )
+    out = pm.change_features(out, ["value"], ["event_type"], ["ts", "event_id"])
+    out = pm.rate_of_change(out, ["value"], [5], ["event_type"], ["ts", "event_id"])
+    return out.select(
+        "event_id",
+        r4(F.col("value_rolling_mean_5")).alias("rmean"),
+        r4(F.col("value_rolling_std_5")).alias("rstd"),
+        r4(F.col("value_rolling_min_5")).alias("rmin"),
+        r4(F.col("value_rolling_max_5")).alias("rmax"),
+        r4(F.col("value_rolling_median_5")).alias("rmedian"),
+        r4(F.col("value_diff")).alias("diff1"),
+        r4(F.col("value_diff2")).alias("diff2"),
+        r4(F.col("value_pct_change")).alias("pct_change"),
+        r4(F.col("value_roc_5")).alias("roc_5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SURVEY §2 ops 43/44: RUL + health labels (lineitem as the asset
+# panel). Round 4: retired to register_extra — the driver-gated
+# pm_prepare_features_lineitem pair subsumes the RUL + health-label
+# path (this pair keeps multi_class_label locally hash-verified).
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
     "pm_rul_lineitem",
     """
     WITH r AS (
@@ -427,6 +563,18 @@ from anomaly_detection_toolkit_spark import entry_suite  # noqa: E402,F401
 # round adds pairs without re-counting.
 _GATE_CAP = 50
 _PRIORITY = [
+    # round-4 rotation: the newest, previously gate-less pairs
+    # register first so they ALWAYS land inside the driver's window
+    "history_drift_events",
+    "drift_rolling_documents",
+    "quarantine_clean_documents",
+    "streaming_dedup_documents",
+    "corpus_pack_documents",
+    "corpus_chunk_assignments_documents",
+    "corpus_stratified_sample_documents",
+    "multimodal_av_pipeline",
+    "dedup_incremental_lsh_documents",
+    # round-3 heavies (previously unchecked flagships)
     "northstar_suite_verdicts",
     "suite_grid_documents",
     "streaming_drift_events",

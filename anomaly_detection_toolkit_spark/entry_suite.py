@@ -651,7 +651,7 @@ _DRIFT_ROLL_SQL = r"""
 """
 
 
-@register_extra("drift_rolling_documents", _DRIFT_ROLL_SQL)
+@register("drift_rolling_documents", _DRIFT_ROLL_SQL)
 def drift_rolling_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DriftCheck(rolling_window=4): trailing-window z-score + IQR
     fences over a 10-partition sequence whose final partition is the
@@ -912,7 +912,7 @@ _HISTORY_DRIFT_SQL = r"""
 """
 
 
-@register_extra("history_drift_events", _HISTORY_DRIFT_SQL)
+@register("history_drift_events", _HISTORY_DRIFT_SQL)
 def history_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """plans/history.history_drift over per-day metric runs derived
     from the events table: metric values are exact integers (counts
@@ -1005,7 +1005,7 @@ _QUARANTINE_SQL = r"""
 """
 
 
-@register_extra("quarantine_clean_documents", _QUARANTINE_SQL)
+@register("quarantine_clean_documents", _QUARANTINE_SQL)
 def quarantine_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """quarantine_ids + clean_table over real check output: every
     doc_key is either 'quarantined' (implicated in a phash16 dup or

@@ -40,7 +40,11 @@ def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("wavelet_detect_events")  # db4 SQL oracle attached below
+# round 4: denoise + detect merged into wavelet_denoise_detect_events
+# below (same per-(series, t) grain, same db4 level-5 kernels) to free
+# a driver-gate slot; the originals stay under register_extra with
+# their full db4 oracles (attached at module bottom).
+@register_extra("wavelet_detect_events", lambda: _db4_detect_sql(5))
 def wavelet_detect_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = wv.detect(_series(spark, sf_dir), "series", "t", "value")
     return out.select(
@@ -48,10 +52,25 @@ def wavelet_detect_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("wavelet_denoise_events")  # db4 SQL oracle attached below
+@register_extra("wavelet_denoise_events", lambda: _db4_denoise_sql(5))
 def wavelet_denoise_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = wv.denoise(_series(spark, sf_dir), "series", "t", "value")
     return out.select("series", "t", r4(F.col("denoised")).alias("denoised"))
+
+
+@register("wavelet_denoise_detect_events")  # SQL attached at module bottom
+def wavelet_denoise_detect_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WaveletDenoiser + WaveletDetector (ops 25-27) in one row set:
+    db4 level-5 universal-threshold denoising joined with the robust
+    per-level fence detector at the shared (series, t) grain."""
+    s = _series(spark, sf_dir)
+    den = wv.denoise(s, "series", "t", "value").select(
+        "series", "t", r4(F.col("denoised")).alias("denoised")
+    )
+    det = wv.detect(s, "series", "t", "value").select(
+        "series", "t", r4(F.col("score")).alias("score"), "verdict"
+    )
+    return den.join(det, ["series", "t"])
 
 
 # A one-level haar DWT IS SQL: periodized pairwise sums/differences
@@ -90,7 +109,10 @@ _HAAR_SQL = f"""
 """
 
 
-@register("wavelet_haar_coeffs_events", _HAAR_SQL)
+# round 4: retired to register_extra — the db4 level-5 merged pair
+# gates the same DWT machinery through a strictly harder oracle; this
+# pair keeps the raw coefficient op locally hash-verified
+@register_extra("wavelet_haar_coeffs_events", _HAAR_SQL)
 def wavelet_haar_coeffs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = wv.coefficients(
         _series(spark, sf_dir), "series", "t", "value", wavelet="haar", level=1
@@ -227,7 +249,6 @@ def _db4_denoise_sql(levels: int = 5) -> str:
 
 
 _WAVELET_DB4_DEN_SQL = _db4_denoise_sql(5)
-ORACLES["wavelet_denoise_events"] = _WAVELET_DB4_DEN_SQL
 
 
 def _db4_detect_sql(levels: int = 5, factor: float = 3.0) -> str:
@@ -297,7 +318,14 @@ def _db4_detect_sql(levels: int = 5, factor: float = 3.0) -> str:
     """
 
 
-ORACLES["wavelet_detect_events"] = _db4_detect_sql(5)
+# merged driver-gate oracle: the two independent db4 derivations
+# joined at the shared (series, t) grain (nested-WITH subqueries —
+# DuckDB scopes each side's CTE chain to its own subquery)
+ORACLES["wavelet_denoise_detect_events"] = f"""
+    SELECT den.series, den.t, den.denoised, det.score, det.verdict
+    FROM ({_WAVELET_DB4_DEN_SQL}) den
+    JOIN ({_db4_detect_sql(5)}) det USING (series, t)
+"""
 
 
 # ---------------------------------------------------------------------------
