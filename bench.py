@@ -37,6 +37,27 @@ def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _load1() -> float:
+    """1-minute loadavg — the co-tenant burst annotation. This host's
+    background load swings 0→14 within minutes (CLAUDE.md); recording
+    it with every timed section lets quiet-window records be told
+    apart from burst-window reruns instead of hand-checking uptime."""
+    return round(os.getloadavg()[0], 2)
+
+
+def _round_number() -> int:
+    """Current build round, inferred from the driver's committed
+    BENCH_r{N}.json records (next = max present + 1)."""
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in REPO.glob("BENCH_r*.json")
+        if (m := re.match(r"BENCH_r(\d+)\.json$", p.name))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
 def ensure_image_table(spark, n: int, n_parts: int) -> str:
     """Generate the bench image table once; reuse across rounds."""
     path = str(REPO / ".bench_cache" / f"images_n{n}_p{n_parts}")
@@ -98,11 +119,15 @@ def main() -> None:
     spark = get_spark("adt-bench", cpus=cpus)
 
     timings: dict[str, float] = {}
+    loads: dict[str, list[float]] = {}
+    load_pre_all = _load1()
 
     img_path = ensure_image_table(spark, n_images, n_parts)
     # best-of-3: this sandbox's wall times swing ±2x with page-cache /
     # steal-time state, and the suite is the headline number
+    loads["validation_suite"] = [_load1()]
     suite_sec, n_img = bench_validation_suite(spark, img_path, runs=3)
+    loads["validation_suite"].append(_load1())
     timings["validation_suite"] = round(suite_sec, 3)
 
     # skewed-key dedup: 2M rows, 40% sharing ONE key — the hot-phash
@@ -191,7 +216,9 @@ def main() -> None:
             # drop caches the contract queries leaked so the 500k suite
             # measures from a clean executor-memory state
             spark.catalog.clearCache()
+            loads["validation_suite_500k"] = [_load1()]
             sec_500k, n_500k = bench_validation_suite(spark, str(big_path), runs=3)
+            loads["validation_suite_500k"].append(_load1())
             timings["validation_suite_500k"] = round(sec_500k, 3)
             img_500k = round(n_500k / sec_500k, 1)
         except Exception as e:  # noqa: BLE001 — keep the headline alive
@@ -213,9 +240,31 @@ def main() -> None:
     per_query_name = (
         "queries_latest.json" if sf == "0.1" else f"queries_sf{sf}.json"
     )
-    (bench_dir / per_query_name).write_text(
-        json.dumps({"sf": sf, "cpus": cpus, "queries": timings}, indent=1)
-    )
+    record = {
+        "ts": round(time.time(), 1),
+        "sf": sf,
+        "cpus": cpus,
+        "load1_pre": load_pre_all,
+        "load1_post": _load1(),
+        "suite_loads": loads,
+        "queries": timings,
+    }
+    (bench_dir / per_query_name).write_text(json.dumps(record, indent=1))
+    # append-only per-round history: noisy reruns (the driver's bench
+    # invocation can land in a co-tenant burst window) ADD a record
+    # with their load annotation instead of overwriting the committed
+    # quiet-window numbers — queries_latest.json is just "most recent",
+    # queries_r{N}.json is the full evidence trail for round N
+    if sf == "0.1":
+        round_file = bench_dir / f"queries_r{_round_number():02d}.json"
+        try:
+            history = json.loads(round_file.read_text())
+            if not isinstance(history, list):  # pragma: no cover
+                history = [history]
+        except (OSError, ValueError):
+            history = []
+        history.append(record)
+        round_file.write_text(json.dumps(history, indent=1))
     # stop the JVM BEFORE printing: stray executor log lines (GC
     # warnings etc.) on stdout after the JSON would corrupt a
     # take-the-last-line parse of the bench output. The headline line
@@ -244,6 +293,7 @@ def main() -> None:
                 "images_per_sec": round(n_img / suite_sec, 1),
                 **({"images_per_sec_500k": img_500k} if img_500k else {}),
                 "cpus": cpus,
+                "load1": [load_pre_all, record["load1_post"]],
                 "per_query_file": f"BENCH/{per_query_name}",
                 **({"failed_queries": failed} if failed else {}),
             }

@@ -111,6 +111,19 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--levels", type=int, nargs="+", default=[2, 8, 32])
     ap.add_argument("--out", default=str(REPO / "BENCH" / "BASELINE.md"))
+    ap.add_argument(
+        "--force",
+        action="store_true",
+        help="write --out even if the host-speed drift gate trips",
+    )
+    ap.add_argument(
+        "--max-host-drift",
+        type=float,
+        default=0.25,
+        help="refuse to update --out when the raw-numpy host probe "
+        "differs by more than this fraction before vs after the "
+        "levels (co-tenant burst window)",
+    )
     args = ap.parse_args()
 
     img_path = str(REPO / ".bench_cache" / f"images_n{args.images}_p32")
@@ -134,8 +147,25 @@ def main() -> None:
             cwd=str(REPO),
         )
 
+    # quiet-window gate (codifies the CLAUDE.md discipline that was
+    # manual until round 3): the host probe runs BEFORE and AFTER the
+    # measurement levels; if the box's own speed drifted past the
+    # threshold, a co-tenant burst overlapped some level and the
+    # N-vs-4N ratio is untrustworthy — the report still prints, but
+    # the committed BASELINE.md is not overwritten (burst evidence
+    # goes to <out>.burst.md instead). loadavg is recorded as the
+    # secondary annotation.
+    import os as _os
+
+    load_pre = round(_os.getloadavg()[0], 2)
     host = host_cpu_baseline()
     results = {c: run_level(c, img_path, args.runs) for c in args.levels}
+    host_after = host_cpu_baseline()
+    load_post = round(_os.getloadavg()[0], 2)
+    drift = max(
+        abs(host_after[p] - host[p]) / host[p] for p in host
+    )
+    quiet = drift <= args.max_host_drift
 
     lines = [
         "# BENCH/BASELINE — validation throughput + scaling efficiency",
@@ -189,6 +219,15 @@ def main() -> None:
         "Raw per-run times: "
         + json.dumps({str(c): [round(t, 2) for t in r["times"]] for c, r in results.items()}),
         "",
+        "Window annotation: loadavg(1m) "
+        + f"{load_pre} -> {load_post}; host-probe drift "
+        + f"{drift:.1%} (gate {args.max_host_drift:.0%}; "
+        + ("quiet window" if quiet else "BURST WINDOW — untrusted")
+        + "); probe secs before "
+        + json.dumps({str(k): round(v, 2) for k, v in host.items()})
+        + " after "
+        + json.dumps({str(k): round(v, 2) for k, v in host_after.items()}),
+        "",
         "## Notes",
         "",
         "- The reference library publishes no benchmark numbers (SURVEY §6);",
@@ -203,6 +242,13 @@ def main() -> None:
         "",
     ]
     out = Path(args.out)
+    if not quiet and not args.force:
+        out = out.with_suffix(out.suffix + ".burst.md")
+        print(
+            f"HOST DRIFTED {drift:.1%} > {args.max_host_drift:.0%} during the "
+            f"levels — refusing to update {args.out}; burst-window evidence "
+            f"written to {out} (rerun in a quiet window, or --force)"
+        )
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text("\n".join(lines))
     print(f"wrote {out}")
