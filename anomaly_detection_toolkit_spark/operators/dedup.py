@@ -519,40 +519,150 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+# rounds the most recent connected_components call took to converge
+# (observable for tests/benchmarks; not part of the public contract)
+LAST_CC_ROUNDS: int = 0
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 50,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Resolve near-dup candidate PAIRS into duplicate CLUSTERS — the
     last stage of a dedup pipeline (pick one canonical doc per group;
     the reference stops at per-row verdicts, this is the corpus-level
     counterpart a training-data pipeline needs).
 
-    Min-label propagation to a fixpoint: every node starts labeled
-    with itself; each round takes ``min(label, min over neighbors)``
-    until no label changes. Deterministic (the fixpoint is the
-    component-wise min id regardless of execution order), and each
-    round is two shuffles (message groupBy + label update join) over
-    the label table — rows = nodes that appear in ANY pair, which for
-    dedup is the near-dup subset, typically ≪ corpus.
+    ``algorithm="star"`` (default): alternating large-star /
+    small-star (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SOCC'14 — public algorithm). Each round rewires
+    every node's larger neighbors to its neighborhood minimum
+    (large-star), then collapses each node's smaller neighbors onto
+    that minimum (small-star); component depth roughly halves per
+    round, so convergence is O(log diameter) rounds — a planted
+    64-deep path cluster converges in ~8 rounds where label
+    propagation needs 64 (pinned in tests/test_corpus_ops.py). Each
+    round is two groupBy-min shuffles + the set-equality convergence
+    probe over the CURRENT edge set (which only shrinks toward star
+    edges), with ``localCheckpoint`` truncating per-round lineage.
 
-    Scale story: rounds needed = component diameter. Near-dup
-    clusters are dense (a true dup group is ~a clique through its
-    band buckets), so diameter is small and bounded rounds converge;
-    for adversarial path-shaped graphs use the alternating
-    large-star/small-star algorithm (Kiveris et al., "Connected
-    Components in MapReduce", SOCC'14) — O(log n) rounds — which this
-    fixpoint loop deliberately trades away for plan simplicity.
-    Each round materializes via ``localCheckpoint`` (eager), which
-    also truncates the otherwise per-round-deepening lineage; the
-    convergence probe piggybacks on that cached result.
+    ``algorithm="label"``: min-label propagation to a fixpoint —
+    every node starts labeled with itself; each round takes
+    ``min(label, min over neighbors)`` until no label changes. Rounds
+    = component diameter, each round two shuffles over the label
+    table. Kept as the small-N path: for the shallow, near-clique
+    clusters real dup groups form, its per-round plan is lighter.
+
+    Both are deterministic (the fixpoint is the component-wise min id
+    regardless of execution order) and REFUSE on non-convergence
+    rather than returning silently split components. Rows = nodes
+    that appear in ANY pair — for dedup the near-dup subset,
+    typically ≪ corpus. The rounds taken by the last call are left
+    in ``LAST_CC_ROUNDS``.
 
     Output: one row per paired node —
     (``src_col`` = node id, cluster = min id in its component,
     cluster_size = #nodes in the component).
     """
+    if algorithm == "star":
+        return _star_components(pairs, src_col, dst_col, max_iter)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    return _label_components(pairs, src_col, dst_col, max_iter)
+
+
+def _star_components(
+    pairs: DataFrame, src_col: str, dst_col: str, max_iter: int
+) -> DataFrame:
+    """Alternating large-star/small-star (see connected_components)."""
+    global LAST_CC_ROUNDS
+    spark = pairs.sparkSession
+    raw = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    # singleton self-pairs carry no connectivity but must still appear
+    # in the output (cluster of themselves) — same contract as the
+    # label path, whose label table includes them
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .persist()
+    )
+    edges = raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    n_edges = edges.count()
+    converged = n_edges == 0
+    rounds = 0
+    while not converged and rounds < max_iter:
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        # large-star: every neighbor v > u rewires to m = min(Γ⁺(u));
+        # each undirected edge is processed once, from its smaller
+        # endpoint, so the edge count never grows
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        )
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: ls edges are all (larger → smaller) already;
+        # collapse each node's smaller neighbors (and itself) onto its
+        # minimum neighbor
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        rounds += 1
+        n_new = ss.count()
+        converged = n_new == n_edges and ss.subtract(edges).count() == 0
+        edges, n_edges = ss, n_new
+    LAST_CC_ROUNDS = rounds
+    if not converged:
+        nodes.unpersist()
+        raise RuntimeError(
+            f"connected_components(star) did not converge in {max_iter} "
+            "rounds — raise max_iter (expected rounds ≈ log2(component "
+            "diameter) + 1)"
+        )
+    # at the fixpoint every non-min node points straight at its
+    # component min; min nodes never appear on the left side
+    labels = (
+        nodes.join(
+            edges.groupBy("u").agg(F.min("v").alias("mlab")),
+            nodes["node"] == F.col("u"),
+            "left",
+        )
+        .select("node", F.coalesce(F.col("mlab"), F.col("node")).alias("lab"))
+    )
+    sizes = labels.groupBy("lab").agg(F.count("*").alias("cluster_size"))
+    out = labels.join(sizes, "lab").select(
+        F.col("node").alias(src_col),
+        F.col("lab").alias("cluster"),
+        F.col("cluster_size").cast("int").alias("cluster_size"),
+    )
+    # materialize before releasing the node set the plan references
+    out = out.localCheckpoint()
+    nodes.unpersist()
+    return out
+
+
+def _label_components(
+    pairs: DataFrame, src_col: str, dst_col: str, max_iter: int
+) -> DataFrame:
+    """Min-label propagation fixpoint (see connected_components)."""
+    global LAST_CC_ROUNDS
     fwd = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
     edges = fwd.union(
         fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -564,7 +674,7 @@ def connected_components(
         .select(F.col("u").alias("node"), F.least("u", "m").alias("lab"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         msgs = (
             edges.join(labels, edges["v"] == labels["node"])
             .groupBy("u")
@@ -589,6 +699,7 @@ def connected_components(
         )
         labels = upd
         if changed == 0:
+            LAST_CC_ROUNDS = rounds
             break
     else:
         # exhausting max_iter with labels still moving would return
@@ -599,7 +710,7 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing); component diameter exceeds "
-            "max_iter — raise it or use an O(log n)-round algorithm"
+            "max_iter — raise it or use algorithm='star' (O(log n) rounds)"
         )
     edges.unpersist()
     sizes = labels.groupBy("lab").agg(F.count("*").alias("cluster_size"))

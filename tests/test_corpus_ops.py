@@ -387,10 +387,58 @@ def test_connected_components_empty_pairs(spark):
 
 def test_connected_components_nonconvergence_raises(spark):
     """Exhausting max_iter with labels still moving must raise, not
-    return silently split clusters."""
+    return silently split clusters — on BOTH algorithms."""
     pairs = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
         "id_a string, id_b string",
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(pairs, max_iter=1)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=1, algorithm="label")
+
+
+def test_connected_components_deep_path_logarithmic_rounds(spark):
+    """The adversarial 100-TB shape: a 64-deep path-shaped cluster
+    (chained templated spam). Large-star/small-star alternation must
+    converge in O(log diameter) rounds — ≤12 here vs the 64 label
+    propagation needs — and still produce the exact component."""
+    pairs = spark.range(0, 63).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out = dedup.connected_components(pairs, max_iter=14).collect()
+    assert dedup.LAST_CC_ROUNDS <= 12
+    assert {r.id_a for r in out} == set(range(64))
+    assert {r.cluster for r in out} == {0}
+    assert {r.cluster_size for r in out} == {64}
+    # label propagation needs diameter rounds on the same input —
+    # the documented reason it is the small-N path only
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=14, algorithm="label")
+
+
+def test_connected_components_algorithms_agree(spark):
+    """star and label must produce identical clusters on a mixed
+    graph (two merged star-shapes, a triangle, self-pairs)."""
+    pairs = spark.createDataFrame(
+        [
+            (10, 1), (10, 2), (10, 3),   # star around 10
+            (20, 4), (20, 5),            # star around 20
+            (3, 4),                      # bridge merges them
+            (30, 31), (31, 32), (30, 32),  # triangle
+            (40, 40),                    # self-pair singleton
+        ],
+        "id_a long, id_b long",
+    )
+    star = {
+        r.id_a: (r.cluster, r.cluster_size)
+        for r in dedup.connected_components(pairs, algorithm="star").collect()
+    }
+    label = {
+        r.id_a: (r.cluster, r.cluster_size)
+        for r in dedup.connected_components(pairs, algorithm="label").collect()
+    }
+    assert star == label
+    assert star[40] == (40, 1)
+    assert star[10] == (1, 7) and star[20] == (1, 7)
+    assert star[30] == (30, 3)
