@@ -310,6 +310,49 @@ def _estimated_jaccard_pairs(pairs: DataFrame, num_perm: int, threshold: float) 
     )
 
 
+def _hot_bucket_split(
+    banded: DataFrame, key_col: str, max_bucket: int
+) -> tuple[DataFrame, DataFrame]:
+    """Split a banded/bucketed table on the per-bucket row cap.
+
+    Returns ``(cold, hot_ids)``: ``cold`` = rows of buckets at or
+    under the cap (safe for the quadratic-within-bucket self-join),
+    ``hot_ids`` = distinct member ids of the oversized buckets. Hot
+    buckets are overwhelmingly viral templates — thousands of
+    (near-)identical documents whose every band collides — and the
+    hot-key list itself is tiny (floods are rare), so it broadcasts.
+    """
+    sizes = banded.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+    hot = sizes.filter(F.col("_n") > max_bucket).select(key_col)
+    cold = banded.join(F.broadcast(hot), key_col, "left_anti")
+    hot_ids = (
+        banded.join(F.broadcast(hot), key_col, "left_semi").select("id").distinct()
+    )
+    return cold, hot_ids
+
+
+def _exact_fallback_pairs(
+    df: DataFrame, text_col: str, id_col: str, hot_ids: DataFrame
+) -> DataFrame:
+    """Exact-duplicate pairs (group-min star) among hot-bucket member
+    docs: the linear-cost fallback that keeps a capped LSH join from
+    losing the flood itself. ``(id_a=group min, id_b, est_jaccard=1.0)``
+    — identical texts have identical signatures, so the scores agree
+    with what the uncapped join would have produced."""
+    d = (
+        df.select(
+            F.col(id_col).alias("id"), F.md5(normalize(F.col(text_col))).alias("fp")
+        )
+        .join(hot_ids, "id", "left_semi")
+    )
+    m = d.groupBy("fp").agg(F.min("id").alias("id_a"))
+    return (
+        d.join(m, "fp")
+        .filter(F.col("id") != F.col("id_a"))
+        .select("id_a", F.col("id").alias("id_b"), F.lit(1.0).alias("est_jaccard"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -318,19 +361,36 @@ def minhash_lsh_pairs(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH, scored by
     signature agreement (unbiased Jaccard estimate).
 
     Stages: (1-3) the banded index (``build_lsh_index``) → self-join
     within band bucket (the ONLY data-sized shuffle, on the band-hash
-    key; hot buckets = real near-dup clusters, which AQE skew-split
-    handles); (4) distinct pairs → estimated Jaccard from full
-    signatures carried on both sides.
+    key; moderately hot buckets = real near-dup clusters, which AQE
+    skew-split handles); (4) distinct pairs → estimated Jaccard from
+    full signatures carried on both sides.
+
+    ``max_bucket``: hot-band skew bound for web-scale corpora. One
+    viral template (10k+ identical docs) floods ONE band bucket and
+    makes the self-join quadratic in the flood (10k² = 10^8 pairs per
+    bucket — AQE can split the task but not shrink the output).
+    Buckets larger than the cap are excluded from the pair join and
+    their member docs routed through the LINEAR exact-duplicate
+    fallback instead (group-min star pairs at est_jaccard=1.0), so
+    the flood still resolves into one cluster while join input per
+    bucket stays ≤ max_bucket. Near-dup-but-not-exact members keep
+    their other, non-flooded bands in the join. Pinned by
+    tests/test_scaling_knobs.py on a planted 5k-copy template.
     """
     # persisted: the self-join references the banded table twice and
     # would otherwise run the signature aggregation once per side
     banded = build_lsh_index(df, text_col, id_col, num_perm, bands, n).persist()
+    fallback = None
+    if max_bucket is not None:
+        banded, hot_ids = _hot_bucket_split(banded, "band_key", max_bucket)
+        fallback = _exact_fallback_pairs(df, text_col, id_col, hot_ids)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -346,7 +406,14 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return _estimated_jaccard_pairs(pairs, num_perm, threshold)
+    out = _estimated_jaccard_pairs(pairs, num_perm, threshold)
+    if fallback is not None:
+        # a pair can surface on both paths only when both docs are
+        # exact dups sharing a non-hot band — identical texts have
+        # identical signatures, so the duplicate rows are identical
+        # and dropDuplicates is deterministic
+        out = out.unionByName(fallback).dropDuplicates(["id_a", "id_b"])
+    return out
 
 
 def incremental_lsh_pairs(
@@ -477,11 +544,18 @@ def simhash_pairs(
     id_col: str = "doc_id",
     bits: int = 32,
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: LSH on ``max_hamming + 1`` bit blocks
     (Manku et al.'s pigeonhole — d differing bits spread over b blocks
     leave at least one block untouched iff d < b), verified by full
-    Hamming distance. Shuffle only on block-keys."""
+    Hamming distance. Shuffle only on block-keys.
+
+    ``max_bucket``: the same hot-bucket skew bound as
+    ``minhash_lsh_pairs`` — a viral template floods every one of its
+    bit-block buckets; oversized buckets skip the quadratic join and
+    their members resolve through the linear exact-duplicate fallback
+    (hamming=0 pairs to the group min)."""
     th = df.select(F.col(id_col).alias("id"), token_hashes(F.col(text_col)).alias("th"))
     # persisted: the block-key self-join references this twice; the
     # simhash bit-votes are the expensive (interpreted-lambda) stage
@@ -500,9 +574,20 @@ def simhash_pairs(
         )
         off += width
     chunked = sh.withColumn("chunk", F.explode(F.array(*chunk_keys)))
+    fallback = None
+    if max_bucket is not None:
+        chunked, hot_ids = _hot_bucket_split(chunked, "chunk", max_bucket)
+        fallback = (
+            _exact_fallback_pairs(df, text_col, id_col, hot_ids)
+            .select(
+                "id_a",
+                "id_b",
+                F.lit(0).cast("integer").alias("hamming"),
+            )
+        )
     a = chunked.alias("a")
     b = chunked.alias("b")
-    return (
+    out = (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"),
@@ -512,6 +597,9 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+    if fallback is not None:
+        out = out.unionByName(fallback).dropDuplicates(["id_a", "id_b"])
+    return out
 
 
 # ---------------------------------------------------------------------------

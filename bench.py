@@ -145,6 +145,40 @@ def main() -> None:
     _noop_write(salted_sorted_dedup(skewed, ["k"], ["o"], n_salts=16))
     timings["salted_dedup_skewed_2m"] = round(time.perf_counter() - t0, 3)
 
+    # hot-band LSH: 200k docs, 40% ONE viral template — the flood
+    # floods its band buckets; max_bucket routes it through the linear
+    # exact-dup fallback (uncapped, the flooded buckets alone would
+    # emit ~3.2e9 candidate pairs and the run would not finish)
+    from anomaly_detection_toolkit_spark.operators.dedup import minhash_lsh_pairs
+
+    hot_docs = spark.range(0, 200_000, 1, 32).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 5 < 2,
+            F.lit("breaking viral template text shared by every copy of this page"),
+        )
+        .otherwise(
+            F.concat_ws(
+                " ",
+                F.lit("doc"),
+                *[
+                    F.concat(
+                        F.lit(f"w{j}x"),
+                        (F.col("id") * (7919 + 13 * j) + j * j).cast("string"),
+                    )
+                    for j in range(8)
+                ],
+            )
+        )
+        .alias("text"),
+    )
+    t0 = time.perf_counter()
+    _noop_write(
+        minhash_lsh_pairs(hot_docs, num_perm=16, bands=4, max_bucket=256)
+    )
+    timings["lsh_dedup_hot_template_200k"] = round(time.perf_counter() - t0, 3)
+    spark.catalog.clearCache()
+
     # token-packing prefix scan at 2M docs: times the two-phase
     # parallel prefix sum (bucketed windows + broadcast offsets) that
     # replaces a single-reducer global window; token counts are
