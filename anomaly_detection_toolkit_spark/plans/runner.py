@@ -140,7 +140,7 @@ def clean_table(
     violations_or_ids: DataFrame,
     entity_col: str = "image_id",
     levels: tuple[str, ...] = ("error",),
-    broadcast: bool = True,
+    broadcast: bool | str = "auto",
 ) -> DataFrame:
     """The consumable output of a validation run: ``df`` minus every
     row whose ``entity_col`` appears in the violations — what a
@@ -149,11 +149,24 @@ def clean_table(
     Accepts either a violations DataFrame (VIOLATION_SCHEMA — reduced
     via ``quarantine_ids``) or an already-distinct id table with an
     ``entity_id`` column. LEFT ANTI join; the distinct shuffles only
-    the violating subset, and with ``broadcast=True`` (default — the
-    typical sparse-defect case) the anti-join adds NO shuffle of the
-    10^12-row fact side. For systematically broken ingests (violating
-    set too big to broadcast) pass ``broadcast=False`` and AQE picks
-    the join strategy."""
+    the violating subset, never the fact side.
+
+    ``broadcast`` picks the anti-join strategy for the fact side:
+
+    - ``"auto"`` (default): no hint — AQE chooses from the id side's
+      ACTUAL runtime size against
+      ``spark.sql.adaptive.autoBroadcastJoinThreshold`` (10 MB
+      default ≈ a few hundred thousand string ids). Sparse defects
+      broadcast (no fact shuffle); a systematically broken ingest
+      (e.g. 30% bad rows — hundreds of millions of ids at 10^12
+      scale) silently degrades to a shuffle join instead of OOMing
+      the driver/executors on a forced broadcast. Pinned by
+      tests/test_plans.py::test_clean_table_auto_switches_join.
+    - ``True``: force the broadcast hint (bypasses the threshold —
+      only when the caller KNOWS the id set is small).
+    - ``False``: force no hint and disqualify broadcast by placing a
+      ``MERGE`` hint, for callers that know the id side is huge and
+      want to skip AQE's attempt."""
     cols = set(violations_or_ids.columns)
     if {"level", "entity_id"} <= cols:  # VIOLATION_SCHEMA-shaped
         ids = quarantine_ids(violations_or_ids, levels)
@@ -164,7 +177,12 @@ def clean_table(
             "violations_or_ids needs an entity_id column "
             f"(got {sorted(cols)})"
         )
-    side = F.broadcast(ids) if broadcast else ids
+    if broadcast is True:
+        side = F.broadcast(ids)
+    elif broadcast is False:
+        side = ids.hint("merge")
+    else:
+        side = ids
     return df.join(
         side, on=df[entity_col].cast("string") == side["entity_id"], how="left_anti"
     )

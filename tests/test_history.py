@@ -249,20 +249,23 @@ def test_quarantine_and_clean_table(spark, tmp_path):
 
 
 def test_clean_table_broadcasts_the_id_side(spark, tmp_path):
+    """Sparse defects under broadcast='auto': AQE's runtime stats see
+    the tiny id side and broadcast — the 10^12-row fact side must NOT
+    shuffle. (Final adaptive plan, so the choice is from ACTUAL
+    sizes, not the pre-execution estimate.)"""
     src = str(tmp_path / "src")
     images.write_images(spark, src, 200, n_parts=2)
     df = spark.read.parquet(src)
-    ids = spark.createDataFrame([("img_000001",)], "entity_id string")
-    plan = (
-        R.clean_table(df, ids)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    # the 10^12-row fact side must NOT shuffle: broadcast anti-join
-    assert "LeftAnti" in plan and "BroadcastExchange" in plan
-    fact_side = plan.split("BroadcastExchange")[0]
-    assert "Exchange hashpartitioning" not in fact_side
+    one_id = df.select("image_id").orderBy("image_id").first()[0]
+    ids = spark.createDataFrame([(one_id,)], "entity_id string")
+    out = R.clean_table(df, ids)
+    # collect() executes OUT's own plan (count() would wrap it in a
+    # fresh aggregate execution and leave this one un-finalized)
+    assert len(out.collect()) == 199
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "LeftAnti" in plan and "Broadcast" in plan
+    assert "Exchange hashpartitioning" not in plan.split("Broadcast")[0]
 
 
 def test_report_tool_renders_run_history(spark, tmp_path):

@@ -368,3 +368,50 @@ def test_violations_cap_is_partitioning_invariant(spark):
         by_cell.setdefault(t[4], []).append(t[1])
     for levels in by_cell.values():
         assert levels == sorted(levels)  # 'error' < 'warning'
+
+
+def test_clean_table_auto_switches_join(spark):
+    """Systematically broken ingest (30% bad rows): under
+    broadcast='auto' the anti-join must DEGRADE to a shuffle join
+    once the id side exceeds the adaptive broadcast threshold,
+    instead of OOMing on a forced broadcast — and still remove
+    exactly the flagged rows. (Threshold shrunk for the test so the
+    3k-id side trips it; production threshold is
+    spark.sql.adaptive.autoBroadcastJoinThreshold, 10 MB default.)"""
+    from anomaly_detection_toolkit_spark.plans import runner as R
+
+    fact = spark.range(10_000).select(
+        F.concat(F.lit("img_"), F.col("id").cast("string")).alias("image_id"),
+        F.col("id").alias("payload"),
+    )
+    bad = spark.range(10_000).filter(F.col("id") % 10 < 3).select(
+        F.concat(F.lit("img_"), F.col("id").cast("string")).alias("entity_id")
+    )
+    keys = (
+        ("spark.sql.autoBroadcastJoinThreshold", "1024"),
+        ("spark.sql.adaptive.autoBroadcastJoinThreshold", "1024"),
+    )
+    prev = {k: spark.conf.get(k, None) for k, _ in keys}
+    for k, v in keys:
+        spark.conf.set(k, v)
+    try:
+        out = R.clean_table(fact, bad, entity_col="image_id")
+        # collect() executes OUT's own plan so the adaptive plan we
+        # inspect below is the finalized one
+        assert len(out.collect()) == 7_000
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "LeftAnti" in plan
+        assert "BroadcastExchange" not in plan  # shuffle path taken
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    # forced broadcast stays available for callers that KNOW the id
+    # set is small
+    out_b = R.clean_table(fact, bad.limit(5), entity_col="image_id", broadcast=True)
+    out_b.collect()
+    assert "BroadcastExchange" in out_b._jdf.queryExecution().executedPlan().toString()
