@@ -109,4 +109,14 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # probe the Iceberg runtime ONCE at session start and stamp the
+    # result so the iceberg seam (sources/iceberg.py) self-reports
+    # availability in its error messages instead of re-probing the JVM
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.catalog.Catalog"
+        )
+        spark.conf.set("spark.adt.iceberg.available", "true")
+    except Exception:
+        spark.conf.set("spark.adt.iceberg.available", "false")
     return spark

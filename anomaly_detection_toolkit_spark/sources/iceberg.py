@@ -49,7 +49,14 @@ STATUS_EXISTING, STATUS_ADDED, STATUS_DELETED = 0, 1, 2
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """True iff the Iceberg Spark runtime is on the JVM classpath."""
+    """True iff the Iceberg Spark runtime is on the JVM classpath.
+
+    ``session.get_spark`` probes this once at session start and stamps
+    the result into ``spark.adt.iceberg.available`` — the seam
+    self-reports instead of every caller re-probing the JVM."""
+    stamped = spark.conf.get("spark.adt.iceberg.available", None)
+    if stamped in ("true", "false"):
+        return stamped == "true"
     try:
         spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
             "org.apache.iceberg.catalog.Catalog"
@@ -57,6 +64,18 @@ def iceberg_available(spark: SparkSession) -> bool:
         return True
     except Exception:
         return False
+
+
+def jar_status(spark: SparkSession) -> str:
+    """Human-readable availability line for error messages/logs."""
+    if iceberg_available(spark):
+        return "Iceberg Spark runtime: PRESENT on this session's classpath"
+    return (
+        "Iceberg Spark runtime: ABSENT from this session's classpath "
+        "(probed at session start; add --packages org.apache.iceberg:"
+        "iceberg-spark-runtime-<spark_ver>_<scala_ver>:<version> or put "
+        "the jar on spark.jars)"
+    )
 
 
 def read_table(
@@ -70,10 +89,8 @@ def read_table(
     """
     if not iceberg_available(spark):
         raise RuntimeError(
-            "Iceberg Spark runtime not on the classpath; use the parquet "
-            "manifest fallback (plans.runner.run_validation_job) locally, "
-            "or submit with --packages org.apache.iceberg:iceberg-spark-"
-            "runtime-<spark_ver>"
+            f"{jar_status(spark)}; use the parquet "
+            "manifest fallback (plans.runner.run_validation_job) locally"
         )
     reader = spark.read.format("iceberg")
     if snapshot_id is not None:
@@ -84,7 +101,9 @@ def read_table(
 def load_metadata(spark: SparkSession, table: str) -> tuple[DataFrame, DataFrame]:
     """(snapshots, entries) metadata tables for ``table`` (jar-gated)."""
     if not iceberg_available(spark):
-        raise RuntimeError("Iceberg runtime absent; metadata tables unavailable")
+        raise RuntimeError(
+            f"metadata tables unavailable — {jar_status(spark)}"
+        )
     return spark.table(f"{table}.snapshots"), spark.table(f"{table}.entries")
 
 
@@ -105,27 +124,39 @@ def current_snapshot_id(snapshots_df: DataFrame) -> int | None:
     return int(row[0]["snapshot_id"]) if row else None
 
 
-def snapshot_ancestry(snapshots_df: DataFrame, to_id: int) -> list[int]:
-    """Snapshot ids from the root to ``to_id`` via ``parent_id`` links.
-
-    Collected driver-side: the snapshot log is O(commits), not O(data).
-    Raises KeyError if ``to_id`` is not in the log (expired/unknown).
-    """
-    parents = {
+def _parent_map(snapshots_df: DataFrame) -> dict[int, int | None]:
+    return {
         int(r["snapshot_id"]): (None if r["parent_id"] is None else int(r["parent_id"]))
         for r in snapshots_df.select("snapshot_id", "parent_id").collect()
     }
+
+
+def snapshot_ancestry(snapshots_df: DataFrame, to_id: int) -> list[int]:
+    """RETAINED snapshot ids from the oldest ancestor to ``to_id`` via
+    ``parent_id`` links.
+
+    Collected driver-side: the snapshot log is O(commits), not O(data).
+    Raises KeyError if ``to_id`` is not in the log (expired/unknown).
+
+    Expiry (``expireSnapshots``) removes old ancestors from the log
+    but leaves the oldest retained snapshot's ``parent_id`` pointing
+    at the expired parent — the walk TRUNCATES at that horizon and
+    returns only snapshots that actually exist (a phantom id in the
+    ancestry would be unreadable and has no entries rows).
+    """
+    parents = _parent_map(snapshots_df)
     if int(to_id) not in parents:
         raise KeyError(f"snapshot {to_id} not in the snapshot log")
     chain: list[int] = []
     cur: int | None = int(to_id)
     seen: set[int] = set()
-    while cur is not None:
+    while cur is not None and cur in parents:
         if cur in seen:  # corrupt log — refuse to loop forever
             raise ValueError(f"snapshot ancestry cycle at {cur}")
         seen.add(cur)
         chain.append(cur)
-        cur = parents.get(cur)
+        cur = parents[cur]  # None at the true root; an absent id at
+        # the expiry horizon ends the walk on the next loop test
     return list(reversed(chain))
 
 
@@ -135,16 +166,29 @@ def snapshots_between(
     """Snapshot ids strictly after ``from_id`` up to ``to_id``.
 
     Returns None when the delta cannot be derived — ``from_id`` is not
-    an ancestor of ``to_id`` (branch switch, expired snapshot, rolled
-    back table). None tells the planner "fall back to a full re-run";
-    guessing here would silently skip validating rewritten data.
+    an ancestor of ``to_id`` (branch switch, rolled back table, or
+    expired DEEPER than the retention horizon, where intermediate
+    snapshots' changes are unknowable). None tells the planner "fall
+    back to a full re-run"; guessing here would silently skip
+    validating rewritten data.
+
+    One expiry case IS derivable and handled: when ``from_id`` is the
+    direct (expired) parent of the oldest retained ancestor, the
+    ``parent_id`` link itself proves every retained ancestor comes
+    strictly after ``from_id``, so the delta is the whole retained
+    chain — a ledger that validated just before an expiry run does
+    not force a 10^12-row full re-validation.
     """
     chain = snapshot_ancestry(snapshots_df, to_id)
     if from_id is None:
         return chain
-    if int(from_id) not in chain:
-        return None
-    return chain[chain.index(int(from_id)) + 1 :]
+    if int(from_id) in chain:
+        return chain[chain.index(int(from_id)) + 1 :]
+    if chain:
+        root_parent = _parent_map(snapshots_df).get(chain[0])
+        if root_parent is not None and int(from_id) == root_parent:
+            return chain
+    return None
 
 
 def changed_partitions(
@@ -186,14 +230,23 @@ def plan_incremental_parts(
     completed_parts: Iterable[int],
     all_parts: Iterable[int],
     part_col: str = "part",
+    skip_replace: bool = True,
 ) -> list[int]:
     """Partitions to (re-)validate moving ``last_validated → current``.
 
     A part must run iff it was never completed, or its data changed in
     a snapshot after the one the ledger validated. Unknown ancestry
-    (rollback/branch/expiry) degrades to the full re-run — same policy
-    as the manifest fallback's fingerprint mismatch.
-    """
+    (rollback/branch/deep expiry) degrades to the full re-run — same
+    policy as the manifest fallback's fingerprint mismatch.
+
+    ``skip_replace`` (default True): snapshots with
+    ``operation = 'replace'`` — ``rewrite_data_files`` compaction —
+    rewrite files WITHOUT changing logical rows, and validation
+    depends only on logical content, so their file churn does not
+    mark partitions changed. Routine maintenance compaction of a
+    10^12-row table must not trigger mass re-validation. Pass False
+    to treat compaction as a change (e.g. when auditing the rewrite
+    itself)."""
     done = {int(p) for p in completed_parts}
     parts = [int(p) for p in all_parts]
     if last_validated is not None and int(last_validated) == int(current):
@@ -201,6 +254,12 @@ def plan_incremental_parts(
     delta = snapshots_between(snapshots_df, last_validated, current)
     if delta is None:
         return parts
+    if skip_replace and delta:
+        ops = {
+            int(r["snapshot_id"]): r["operation"]
+            for r in snapshots_df.select("snapshot_id", "operation").collect()
+        }
+        delta = [s for s in delta if ops.get(int(s)) != "replace"]
     changed = set(changed_partitions(entries_df, delta, part_col))
     return [p for p in parts if p not in done or p in changed]
 

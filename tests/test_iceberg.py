@@ -162,3 +162,106 @@ def test_record_iceberg_carries_unchanged_parts(tmp_path):
     # out of completed_parts; simulate the resume bookkeeping
     ice.record_iceberg(ledger, 40, [], planned_parts={0, 1, 2}, outputs={})
     assert ledger.load()["completed_parts"] == []
+
+
+# ---------------------------------------------------------------------------
+# Round-4 depth: snapshot expiry + rewrite_data_files compaction
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def expired_log(spark):
+    """History after expireSnapshots: original root 10 and child 20
+    are GONE; the oldest retained snapshot 30 still carries
+    parent_id=20 pointing past the retention horizon."""
+    return snapshots(
+        spark,
+        [
+            ("2024-01-03T00:00:00", 30, 20, "append"),
+            ("2024-01-04T00:00:00", 40, 30, "replace"),   # compaction
+            ("2024-01-05T00:00:00", 50, 40, "append"),
+        ],
+    )
+
+
+@pytest.fixture(scope="module")
+def expired_entries(spark):
+    return entries(
+        spark,
+        [
+            # snap 30 appended part 3
+            (ice.STATUS_ADDED, 30, 3, "f3", 100),
+            (ice.STATUS_EXISTING, 30, 0, "f0", 100),
+            # snap 40 = rewrite_data_files: parts 0 and 3 compacted
+            # (delete+add, logical rows unchanged)
+            (ice.STATUS_DELETED, 40, 0, "f0", 100),
+            (ice.STATUS_ADDED, 40, 0, "f0c", 100),
+            (ice.STATUS_DELETED, 40, 3, "f3", 100),
+            (ice.STATUS_ADDED, 40, 3, "f3c", 100),
+            # snap 50 appended part 4
+            (ice.STATUS_ADDED, 50, 4, "f4", 100),
+            (ice.STATUS_EXISTING, 50, 0, "f0c", 100),
+            (ice.STATUS_EXISTING, 50, 3, "f3c", 100),
+        ],
+    )
+
+
+def test_ancestry_truncates_at_expiry_horizon(expired_log):
+    """The walk must stop at the retention horizon and never emit the
+    phantom (expired, unreadable) parent id."""
+    assert ice.snapshot_ancestry(expired_log, 50) == [30, 40, 50]
+    assert ice.snapshot_ancestry(expired_log, 30) == [30]
+
+
+def test_delta_across_direct_expired_parent(expired_log):
+    """Ledger validated at 20, then 10/20 expired: the parent link
+    20 -> 30 proves every retained snapshot is after 20, so the delta
+    is the retained chain — no forced full re-run."""
+    assert ice.snapshots_between(expired_log, 20, 50) == [30, 40, 50]
+
+
+def test_delta_beyond_expiry_horizon_is_unknowable(expired_log):
+    """Ledger validated at 10 (two expirations back): snapshot 20's
+    changes are gone from the log, so the delta cannot be derived —
+    None forces the conservative full re-run."""
+    assert ice.snapshots_between(expired_log, 10, 50) is None
+
+
+def test_compaction_does_not_mark_partitions_changed(
+    expired_log, expired_entries
+):
+    """rewrite_data_files (operation='replace') rewrites files without
+    changing logical rows: with everything validated through snap 30,
+    moving to snap 50 must re-run ONLY part 4 (the real append) —
+    parts 0/3's compaction churn is skipped."""
+    todo = ice.plan_incremental_parts(
+        expired_log,
+        expired_entries,
+        30,
+        50,
+        completed_parts=[0, 3],
+        all_parts=[0, 3, 4],
+    )
+    assert todo == [4]
+    # opting out (auditing the rewrite itself) re-runs compacted parts
+    todo = ice.plan_incremental_parts(
+        expired_log,
+        expired_entries,
+        30,
+        50,
+        completed_parts=[0, 3],
+        all_parts=[0, 3, 4],
+        skip_replace=False,
+    )
+    assert todo == [0, 3, 4]
+
+
+def test_jar_status_self_reports(spark):
+    """The session stamps the probe result at start; the seam's error
+    messages state jar status explicitly."""
+    assert spark.conf.get("spark.adt.iceberg.available") == "false"
+    assert "ABSENT" in ice.jar_status(spark)
+    with pytest.raises(RuntimeError, match="ABSENT from this session"):
+        ice.read_table(spark, "cat.db.t")
+    with pytest.raises(RuntimeError, match="ABSENT from this session"):
+        ice.load_metadata(spark, "cat.db.t")

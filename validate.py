@@ -149,9 +149,14 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.perf_counter()
     if args.format == "iceberg":
         from anomaly_detection_toolkit_spark.sources.iceberg import (
+            iceberg_available,
+            jar_status,
             run_validation_job_iceberg,
         )
 
+        if not iceberg_available(spark):
+            print(f"--format iceberg unavailable: {jar_status(spark)}")
+            return 2
         result = run_validation_job_iceberg(
             spark,
             args.input,
