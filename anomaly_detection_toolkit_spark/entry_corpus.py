@@ -720,7 +720,10 @@ def ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "method", F.lit("brute")
     )
     lsh = similarity.lsh_topk(
-        emb, queries, k=_K, n_planes=_N_PLANES, dim=_DIM
+        # n_tables pinned to 1: the oracle SQL models a single plane
+        # set (the round-4 default bump to 4 tables is a recall knob,
+        # measured in BENCH/ANN_RECALL.md, not a semantics change)
+        emb, queries, k=_K, n_planes=_N_PLANES, dim=_DIM, n_tables=1
     ).withColumn("method", F.lit("lsh"))
     return brute.unionByName(lsh).select(
         "method",

@@ -170,7 +170,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     target_bucket_rows: int = 256,
     n_rows_hint: int | None = None,
-    n_tables: int = 1,
+    n_tables: int = 4,
 ) -> DataFrame:
     """Approximate top-k: exact cosine rerank restricted to the
     query's SRP-LSH bucket. One bucket-equi-join (broadcast query
@@ -187,7 +187,17 @@ def lsh_topk(
     plane sets before the rerank — the standard LSH recall recovery
     at high plane counts: miss probability per true neighbor drops
     from p to p^T at T× candidate cost (each table is one more
-    bucket equi-join; the rerank dedups pairs first)."""
+    bucket equi-join; the rerank dedups pairs first).
+
+    Default ``n_tables=4`` (round 4): the 1M-vector depth measurement
+    (``tools/ann_recall_bench.py`` → ``BENCH/ANN_RECALL.md``) put
+    single-table recall@10 at 0.16 vs 0.59 for 4 tables at auto plane
+    sizing — constant-bucket SRP fundamentally trades generic-kNN
+    recall for scan cost as N grows. For generic top-k at 10^6+
+    vectors prefer ``ivf_topk``: measured recall@10 = 1.0 at
+    ``n_probe=1`` with ~N/1000 cells on clustered data. SRP-LSH
+    remains the right shape for HIGH-similarity retrieval (near-dup:
+    collision probability (1−θ/π)^planes → 1 as θ → 0)."""
     if n_planes is None:
         n = n_rows_hint if n_rows_hint is not None else corpus.count()
         n_planes = auto_n_planes(n, target_bucket_rows)
