@@ -425,6 +425,7 @@ def incremental_lsh_pairs(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Dedup an ingest BATCH against an existing corpus without
     re-pairing the corpus with itself.
@@ -451,8 +452,38 @@ def incremental_lsh_pairs(
     internal cache left pinned per call (the batch's banded table,
     referenced by three join sides) would accumulate without bound.
     Result size is batch-scale, not corpus-scale.
+
+    ``max_bucket``: hot-band skew bound, the incremental counterpart
+    of ``minhash_lsh_pairs``'s cap. Two hazards at web scale:
+    (a) the BATCH contains a viral template — its banded self-join
+    goes quadratic in the flood; capped identically (oversized batch
+    buckets skip the join, members resolve through the linear
+    exact-dup fallback, against='batch');
+    (b) the INDEX holds a flooded bucket (years of the template
+    already ingested) — every probing batch member matches the whole
+    bucket, so one batch doc can emit millions of corpus pairs whose
+    only information is "it's a dup". Oversized index buckets are
+    trimmed to their ``max_bucket`` LOWEST-id rows (deterministic
+    representatives; sort-within-bucket, shuffle-free on a
+    band_key-bucketed index) — flood members are near-identical by
+    construction, so matching any representative still flags the
+    batch doc, and output stays ≤ max_bucket per (member, band).
     """
     new_banded = build_lsh_index(new_df, text_col, id_col, num_perm, bands, n).persist()
+    if max_bucket is not None:
+        capped_batch, hot_ids = _hot_bucket_split(new_banded, "band_key", max_bucket)
+        batch_fallback = (
+            _exact_fallback_pairs(new_df, text_col, id_col, hot_ids)
+            .withColumn("against", F.lit("batch"))
+        )
+        wb = Window.partitionBy("band_key").orderBy("id")
+        index_df = (
+            index_df.withColumn("_rk", F.row_number().over(wb))
+            .filter(F.col("_rk") <= max_bucket)
+            .drop("_rk")
+        )
+    else:
+        capped_batch, batch_fallback = new_banded, None
     a = new_banded.alias("a")
     # batch × corpus: sides are disjoint, so no id-order constraint
     idx = index_df.alias("b")
@@ -466,10 +497,12 @@ def incremental_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # batch × batch: the usual ordered self-join
-    b2 = new_banded.alias("b")
+    # batch × batch: the usual ordered self-join (over the capped
+    # banded table when max_bucket is set)
+    a2 = capped_batch.alias("a")
+    b2 = capped_batch.alias("b")
     vs_batch = (
-        a.join(
+        a2.join(
             b2,
             (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")),
         )
@@ -488,6 +521,10 @@ def incremental_lsh_pairs(
             "against", F.lit("batch")
         )
     )
+    if batch_fallback is not None:
+        out = out.unionByName(batch_fallback).dropDuplicates(
+            ["id_a", "id_b", "against"]
+        )
     out = out.localCheckpoint(eager=True)
     new_banded.unpersist()
     return out

@@ -390,9 +390,22 @@ def embedding_near_dup_pairs(
     target_bucket_rows: int = 256,
     n_rows_hint: int | None = None,
     n_tables: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b) with
     cosine ≥ min_cosine, candidate-limited to shared SRP buckets.
+
+    ``max_bucket``: hot-bucket skew bound (the embedding counterpart
+    of ``dedup.minhash_lsh_pairs``'s cap). Auto plane sizing keeps the
+    EXPECTED bucket at ``target_bucket_rows``, but a flood of
+    identical embeddings (the same image re-crawled millions of
+    times) lands in ONE bucket regardless of plane count and the
+    within-bucket join goes quadratic in the flood. Buckets over the
+    cap skip the join in that table; their members pair through the
+    linear exact-vector fallback (group-min star pairs at
+    cosine_sim=1.0 over byte-identical vectors). Near-identical
+    (not exact) members of a skipped bucket keep their other hash
+    tables (``n_tables``) for recovery.
 
     SRP is sign-preserving, so truly near-identical vectors land in
     the same bucket with high probability; the miss rate is the
@@ -414,10 +427,19 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("vec"),
         norm(F.col(vec_col)).alias("nrm"),
     )
+    hot_members = None
     cand = None
     for t in range(n_tables):
         planes = plane_signs(n_planes, dim, table=t)
         v = v0.withColumn("bucket", srp_bucket(F.col("vec"), planes))
+        if max_bucket is not None:
+            sizes = v.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))
+            hot = sizes.filter(F.col("_n") > max_bucket).select("bucket")
+            hm = v.join(F.broadcast(hot), "bucket", "left_semi").select(
+                "id", "vec"
+            )
+            hot_members = hm if hot_members is None else hot_members.unionByName(hm)
+            v = v.join(F.broadcast(hot), "bucket", "left_anti")
         a, b = v.alias("a"), v.alias("b")
         part = a.join(
             b,
@@ -433,10 +455,26 @@ def embedding_near_dup_pairs(
         cand = part if cand is None else cand.unionByName(part)
     if n_tables > 1:
         cand = cand.dropDuplicates(["id_a", "id_b"])
-    return (
+    out = (
         cand.withColumn(
             "cosine_sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         )
         .filter(F.col("cosine_sim") >= min_cosine)
         .select("id_a", "id_b", "cosine_sim")
     )
+    if hot_members is not None:
+        # exact-vector fallback: byte-identical vectors in skipped
+        # buckets pair to their group min (cosine 1.0 ≥ any threshold)
+        hm = hot_members.dropDuplicates(["id"])
+        m = hm.groupBy("vec").agg(F.min("id").alias("id_a"))
+        fallback = (
+            hm.join(m, "vec")
+            .filter(F.col("id") != F.col("id_a"))
+            .select(
+                "id_a",
+                F.col("id").alias("id_b"),
+                F.lit(1.0).alias("cosine_sim"),
+            )
+        )
+        out = out.unionByName(fallback).dropDuplicates(["id_a", "id_b"])
+    return out

@@ -323,3 +323,77 @@ def test_lsh_hot_band_cap_no_op_on_calm_corpus(spark):
         ).collect()
     }
     assert base == capped
+
+
+def test_incremental_lsh_hot_band_cap(spark):
+    """Incremental counterpart of the hot-band cap: a flooded BATCH
+    resolves linearly via the exact fallback, and a flooded INDEX
+    bucket is trimmed to representatives so one probing doc can't
+    emit bucket-sized pair floods."""
+    from anomaly_detection_toolkit_spark.operators import dedup
+
+    n_copies, n_total = 2_000, 2_400
+    docs = _template_docs(spark, n_total, n_copies).persist()
+    # corpus = the flood + some fillers; batch = fresh ids, half
+    # template copies, half unique (disjoint id space)
+    batch = spark.range(n_total, n_total + 40).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.lit("breaking viral template text shared by every copy of this spam page"),
+        )
+        .otherwise(F.concat(F.lit("fresh unique batch doc "), F.col("id").cast("string")))
+        .alias("text"),
+    )
+    index = dedup.build_lsh_index(docs, num_perm=16, bands=4)
+    out = dedup.incremental_lsh_pairs(
+        batch, index, num_perm=16, bands=4, threshold=0.5, max_bucket=32
+    )
+    vs_corpus = out.filter(F.col("against") == "corpus")
+    # every template batch doc matches SOME corpus representative
+    # (flagged as dup) but at most 32 per band per table — not 2000
+    n_template_batch = 20
+    matched = {r.id_a for r in vs_corpus.collect()}
+    assert {n_total + i for i in range(0, 40, 2)} <= matched
+    per_doc = (
+        vs_corpus.groupBy("id_a").count().agg(F.max("count")).first()[0]
+    )
+    assert per_doc <= 32 * 4  # max_bucket per band, 4 bands
+    # batch self-flood resolves via the exact fallback star
+    vs_batch = out.filter(F.col("against") == "batch").collect()
+    star = [r for r in vs_batch if r.est_jaccard == 1.0]
+    assert len(star) >= n_template_batch - 1
+    docs.unpersist()
+
+
+def test_embedding_near_dup_hot_bucket_cap(spark):
+    """A flood of IDENTICAL embeddings lands in one SRP bucket no
+    matter the plane count; with max_bucket the pair join skips it
+    and the exact-vector fallback emits the linear group-min star."""
+    n_copies, n_total = 2_000, 2_300
+    flood_vec = F.array(*[F.lit(float(d % 7) - 3.0) for d in range(DIM)])
+    emb = spark.range(n_total).select(
+        F.col("id").alias("vec_id"),
+        F.when(F.col("id") < n_copies, flood_vec)
+        .otherwise(
+            F.array(
+                *[
+                    (
+                        (F.sin(F.col("id") * (12.9898 + 7.77 * d)) * 43758.5453)
+                        - F.floor(F.sin(F.col("id") * (12.9898 + 7.77 * d)) * 43758.5453)
+                    ).cast("double")
+                    for d in range(DIM)
+                ]
+            )
+        )
+        .alias("embedding"),
+    ).persist()
+    pairs = sim.embedding_near_dup_pairs(
+        emb, min_cosine=0.95, dim=DIM, n_rows_hint=n_total, max_bucket=64
+    ).persist()
+    flood = pairs.filter(F.col("id_b") < n_copies)
+    assert flood.count() == n_copies - 1  # linear star, not ~2e6 pairs
+    assert flood.agg(F.min("cosine_sim")).first()[0] == 1.0
+    assert pairs.count() < n_copies + 500
+    pairs.unpersist()
+    emb.unpersist()

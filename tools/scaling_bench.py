@@ -160,6 +160,11 @@ def main() -> None:
     load_pre = round(_os.getloadavg()[0], 2)
     host = host_cpu_baseline()
     results = {c: run_level(c, img_path, args.runs) for c in args.levels}
+    # settle before the after-probe: the last level's 32-thread JVM
+    # just exited and its load is still decaying — probing instantly
+    # measures OUR OWN tail, not the co-tenant window (the first gated
+    # run false-positived at 62% drift exactly this way)
+    time.sleep(75)
     host_after = host_cpu_baseline()
     load_post = round(_os.getloadavg()[0], 2)
     drift = max(
