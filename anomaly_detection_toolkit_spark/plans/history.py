@@ -185,6 +185,21 @@ def history_drift(
     )
 
 
+def restrict_to_recorded_runs(metrics: DataFrame, run_seqs) -> DataFrame:
+    """Drop sink rows whose ``run_seq`` the ledger never recorded.
+
+    A crashed job can append sink rows tagged with a reserved-but-
+    burned run_seq and die before ``Ledger.record`` — those partial
+    rows must not count as a full run in every future history
+    baseline. ``run_seqs`` = the ledger's recorded seqs (driver-side
+    state, tiny). Empty ``run_seqs`` (no ledger — e.g. a sink
+    assembled by hand) filters nothing."""
+    seqs = sorted({int(s) for s in run_seqs})
+    if not seqs:
+        return metrics
+    return metrics.filter(F.col("run_seq").isin(seqs))
+
+
 def history_violations(
     scored: DataFrame, *, check_name: str = "history_drift"
 ) -> DataFrame:

@@ -427,3 +427,35 @@ def test_compact_sinks_preserves_rows_and_reduces_files(spark, tmp_path):
         capture_output=True, text=True, timeout=120,
     )
     assert res.returncode == 0 and "run   1" in res.stdout
+
+
+def test_orphan_run_seq_rows_excluded_from_baseline(spark):
+    """A crashed job's sink rows (burned run_seq, never recorded in
+    the ledger) must not count as a run in the history baseline: with
+    the orphan included the constant-history cell would flag; with it
+    filtered the baseline is clean and the verdict flips."""
+    from anomaly_detection_toolkit_spark.plans.history import (
+        restrict_to_recorded_runs,
+    )
+
+    rows = (
+        # recorded runs 0..4: constant 5.0; current run 5: 5.0 too
+        [("s", 0, "m", 5.0, i) for i in range(5)]
+        + [("s", 0, "m", 5.0, 5)]
+        # orphan seq 9 from a crashed job: wild value
+        + [("s", 0, "m", 500.0, 9)]
+    )
+    m = _metrics(spark, rows)
+    recorded = [0, 1, 2, 3, 4, 5]
+    clean = restrict_to_recorded_runs(m, recorded)
+    out = history_drift(clean, min_history=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["run_seq"] == 5 and r["hist_n"] == 5
+    assert r["verdict"] == 1  # calm — the orphan never polluted it
+    # counterfactual: unfiltered, the orphan IS the current run and
+    # drifts wildly against the recorded history
+    dirty = history_drift(m, min_history=3).collect()[0]
+    assert dirty["run_seq"] == 9 and dirty["verdict"] == -1
+    # no ledger (empty seq list) → filter is a no-op
+    assert restrict_to_recorded_runs(m, []).count() == m.count()

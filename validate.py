@@ -263,9 +263,11 @@ def _run_history_drift(spark, args) -> None:
         return
     # a crashed job can leave sink rows tagged with a burned run_seq
     # the ledger never recorded — those partial-run rows must not
-    # count as a full run in every future baseline, so the history is
-    # restricted to ledger-recorded seqs (tiny in-clause: the run log
-    # is driver-side state already)
+    # count as a full run in every future baseline (see
+    # plans.history.restrict_to_recorded_runs)
+    from anomaly_detection_toolkit_spark.plans.history import (
+        restrict_to_recorded_runs,
+    )
     from anomaly_detection_toolkit_spark.plans.runner import Ledger as _L
 
     recorded = {
@@ -273,10 +275,7 @@ def _run_history_drift(spark, args) -> None:
         for r in _L(os.path.join(args.output, "_ledger")).load().get("runs", [])
         if r.get("run_seq") is not None
     }
-    if recorded:
-        metrics = metrics.filter(
-            F.col("run_seq").isin([int(s) for s in recorded])
-        )
+    metrics = restrict_to_recorded_runs(metrics, recorded)
     n_runs = metrics.select("run_seq").where(F.col("run_seq").isNotNull()).distinct().count()
     if n_runs < 2:
         print(f"history-drift: {n_runs} tagged run(s) — nothing to compare yet")
