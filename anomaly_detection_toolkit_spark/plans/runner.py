@@ -498,6 +498,7 @@ def compact_sinks(
         "quarantine_ids",
     ),
     target_files: int = 1,
+    _pre_swap_hook=None,
 ) -> dict[str, tuple[int, int]]:
     """Rewrite each append-mode sink as ``target_files`` parquet files.
 
@@ -515,12 +516,16 @@ def compact_sinks(
     appending to the same sink mid-compaction — files landing after
     the initial listing would be silently dropped by the swap. The
     file listing is therefore re-checked immediately before the swap
-    and the sink is skipped (reported under ``"skipped"``) if it
+    and the sink is skipped (entry ``(-1, files_now)``) if it
     changed; the unavoidable two-rename gap where the sink path is
     briefly absent is kept to the two syscalls, and a crash in the
     gap leaves ``<sink>.bak`` intact for manual recovery.
 
-    Returns ``{sink: (rows, files_before)}`` for what was compacted.
+    Returns ``{sink: (rows, files_before)}`` for what was compacted;
+    a skipped sink maps to ``(-1, current_file_count)``.
+    ``_pre_swap_hook(sink)`` is a test seam invoked between the
+    row-count verification and the re-listing (how the
+    concurrent-append skip is exercised deterministically).
     """
     import shutil
 
@@ -548,12 +553,14 @@ def compact_sinks(
             raise RuntimeError(
                 f"compaction of {sink} lost rows ({n_before} -> {n_after})"
             )
-        if _listing(path) != files_before:
+        if _pre_swap_hook is not None:
+            _pre_swap_hook(sink)
+        now = _listing(path)
+        if now != files_before:
             # a concurrent run appended (or pruned) files after the
             # read — swapping now would silently lose those rows
             shutil.rmtree(tmp)
-            done.setdefault("skipped", (0, 0))
-            done["skipped"] = (done["skipped"][0] + 1, 0)
+            done[sink] = (-1, len(now))
             continue
         bak = path + ".bak"
         if os.path.isdir(bak):

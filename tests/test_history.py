@@ -459,3 +459,40 @@ def test_orphan_run_seq_rows_excluded_from_baseline(spark):
     assert dirty["run_seq"] == 9 and dirty["verdict"] == -1
     # no ledger (empty seq list) → filter is a no-op
     assert restrict_to_recorded_runs(m, []).count() == m.count()
+
+
+def test_compact_sinks_skips_on_concurrent_append(spark, tmp_path):
+    """A file appended between the compaction read and the swap (what
+    a concurrent validation run does) must make compaction SKIP that
+    sink — keeping every file — rather than silently dropping the new
+    rows in the directory swap."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    images.write_images(spark, src, 200, n_parts=2)
+    suite = [C.UniquenessCheck("image_id", entity_col="image_id")]
+    assert R.run_validation_job(spark, src, out, checks=suite)
+
+    def inject(sink):
+        if sink == "metrics":
+            # simulate a concurrent run's append: copy an existing
+            # committed parquet file under a fresh name
+            d = f"{out}/metrics"
+            srcf = next(
+                f for f in os.listdir(d) if f.endswith(".parquet")
+            )
+            shutil.copy(f"{d}/{srcf}", f"{d}/part-concurrent.parquet")
+
+    n_files_pre = None
+    done = R.compact_sinks(spark, out, _pre_swap_hook=inject)
+    rows, n_files = done["metrics"]
+    assert rows == -1  # skipped
+    # nothing lost, nothing swapped: injected file still present
+    d = f"{out}/metrics"
+    assert "part-concurrent.parquet" in os.listdir(d)
+    assert not os.path.isdir(f"{d}.compact.tmp")
+    assert not os.path.isdir(f"{d}.bak")
+    # other sinks compacted normally
+    assert done["verdicts"][0] >= 0

@@ -274,3 +274,50 @@ def test_northstar_oracle_assumptions(spark):
         ).sort_index()
         ks = float(np.max(np.abs(np.cumsum(p.to_numpy()) - gcdf)))
         assert ks < 0.15, f"part {part} phash KS {ks}"
+
+
+def test_validate_cli_clean_output(spark, tmp_path):
+    """validate.py --clean-output writes the passing-rows-only table:
+    every error-level entity id from the run's violations is absent,
+    everything else survives, partitioned by part."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from anomaly_detection_toolkit_spark.sources import images
+
+    repo = Path(__file__).resolve().parent.parent
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    clean = str(tmp_path / "clean")
+    images.write_images(spark, src, 400, n_parts=2)
+    res = subprocess.run(
+        [
+            sys.executable,
+            str(repo / "validate.py"),
+            "--input", src,
+            "--output", out,
+            "--clean-output", clean,
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(repo),
+        timeout=420,
+    )
+    assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+    assert "clean table:" in res.stdout
+    cleaned = spark.read.parquet(clean)
+    n_in = spark.read.parquet(src).count()
+    assert 0 < cleaned.count() < n_in  # defects exist and were removed
+    bad = {
+        r["entity_id"]
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(f"{out}/violations")
+        .where("level = 'error' and entity_id is not null")
+        .collect()
+    }
+    assert bad  # the generator plants defects
+    kept = {r["image_id"] for r in cleaned.select("image_id").collect()}
+    assert not (bad & kept)
+    assert "part" in cleaned.columns  # partitioned layout readable

@@ -114,6 +114,23 @@ def main(argv: list[str] | None = None) -> int:
         "list must be complete",
     )
     ap.add_argument(
+        "--clean-output",
+        metavar="PATH",
+        default=None,
+        help="after the run, write the CLEAN TABLE (input minus rows "
+        "whose entity id has an error-level violation in this run) to "
+        "PATH as parquet, partitioned by the partition column — the "
+        "consumable 'passing rows only' view a training pipeline "
+        "reads. Join strategy picked by AQE from the violating-id "
+        "side's runtime size (plans.runner.clean_table)",
+    )
+    ap.add_argument(
+        "--clean-entity-col",
+        default="image_id",
+        help="entity column of the input the violation ids refer to "
+        "(default image_id, matching the north-star table)",
+    )
+    ap.add_argument(
         "--compact-sinks",
         action="store_true",
         help="after the run, rewrite each append-mode sink as one "
@@ -188,6 +205,11 @@ def main(argv: list[str] | None = None) -> int:
                 "quarantine: skipped — needs a validation run's "
                 "violations (nothing was validated)"
             )
+        if args.clean_output:
+            print(
+                "clean table: skipped — needs a validation run's "
+                "violations (nothing was validated)"
+            )
         if args.compact_sinks:
             _compact(spark, args)
         return 0
@@ -225,6 +247,21 @@ def main(argv: list[str] | None = None) -> int:
             f"quarantine: {ids.count()} entity ids "
             f"(run_seq={last['run_seq']}) -> {qpath}"
         )
+    if args.clean_output:
+        from anomaly_detection_toolkit_spark.plans.runner import clean_table
+
+        cleaned = clean_table(
+            spark.read.parquet(args.input),
+            result.violations,
+            entity_col=args.clean_entity_col,
+        )
+        (
+            cleaned.write.mode("overwrite")
+            .partitionBy(args.part_col)
+            .parquet(args.clean_output)
+        )
+        n_clean = spark.read.parquet(args.clean_output).count()
+        print(f"clean table: {n_clean} passing rows -> {args.clean_output}")
     if args.history_drift:
         _run_history_drift(spark, args)
     if args.compact_sinks:
@@ -237,7 +274,14 @@ def _compact(spark, args) -> None:
 
     done = compact_sinks(spark, args.output)
     for sink, (rows, files_before) in done.items():
-        print(f"compacted {sink}: {files_before} files -> 1 ({rows} rows)")
+        if rows < 0:
+            print(
+                f"compaction of {sink} SKIPPED: a concurrent run changed "
+                f"its files mid-compaction ({files_before} files now) — "
+                "rerun --compact-sinks when no validation job is writing"
+            )
+        else:
+            print(f"compacted {sink}: {files_before} files -> 1 ({rows} rows)")
 
 
 def _run_history_drift(spark, args) -> None:
