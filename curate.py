@@ -61,6 +61,18 @@ def main(argv: list[str] | None = None) -> int:
         "cluster's min-id representative); exact dedup always runs",
     )
     ap.add_argument("--jaccard", type=float, default=0.5, help="near-dup est-Jaccard threshold")
+    ap.add_argument(
+        "--max-bucket",
+        type=int,
+        default=None,
+        metavar="N",
+        help="hot-band skew cap for the near-dup LSH join: band "
+        "buckets larger than N skip the quadratic pair join (their "
+        "members resolve through the linear exact-dup fallback). "
+        "Exact dedup has already collapsed identical texts by this "
+        "stage, so a hot bucket here means a near-identical template "
+        "farm — cap it when one templated domain dominates the crawl",
+    )
     ap.add_argument("--quality-min", type=float, default=0.0, help="drop docs below this quality_score")
     ap.add_argument(
         "--langs",
@@ -97,7 +109,9 @@ def main(argv: list[str] | None = None) -> int:
 
     # 2. optional near-dup clusters
     if args.near_dup:
-        pairs = dedup.minhash_lsh_pairs(docs, threshold=args.jaccard)
+        pairs = dedup.minhash_lsh_pairs(
+            docs, threshold=args.jaccard, max_bucket=args.max_bucket
+        )
         clusters = dedup.connected_components(pairs)
         drop = clusters.filter(F.col("id_a") != F.col("cluster")).select(
             F.col("id_a").alias("doc_id")
