@@ -147,18 +147,16 @@ def ensemble_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         [ZScoreDetector(threshold=3.0), IQROutlierDetector(factor=1.5)],
         voting_threshold=2,
     ).fit(df, ["value"])
-    out = ens.transform(df)
     from anomaly_detection_toolkit_spark.operators.ensemble import vote_count
 
-    thr = EnsembleDetector(
-        [ZScoreDetector(threshold=3.0), IQROutlierDetector(factor=1.5)],
-        combination_method="mean",
-    ).fit(df, ["value"])
-    thr_out = thr.transform(df).select(
-        "event_id", F.col("verdict").alias("thr_verdict")
-    )
-    voted = out.select(
+    # all voting-derived columns are projected FIRST (freeing the
+    # member score_i/verdict_i names), then the EnsembleDetector
+    # re-scores the SAME frame in place — chained transforms like
+    # detect_stat_events, so the two ensembles' outputs never meet in
+    # a per-event join (the round-4 merge's whole point)
+    voted = ens.transform(df).select(
         "event_id",
+        "value",  # the feature column the threshold ensemble scores
         vote_count(["verdict_0", "verdict_1"]).alias("votes"),
         r4(F.col("score")).alias("score_mean"),
         r4(combine_scores(["score_0", "score_1"], "median")).alias("score_median"),
@@ -166,7 +164,20 @@ def ensemble_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(combine_scores(["score_0", "score_1"], "min")).alias("score_min"),
         F.col("verdict").alias("vote_verdict"),
     )
-    return voted.join(thr_out, "event_id")
+    thr = EnsembleDetector(
+        [ZScoreDetector(threshold=3.0), IQROutlierDetector(factor=1.5)],
+        combination_method="mean",
+    ).fit(df, ["value"])
+    return thr.transform(voted).select(
+        "event_id",
+        "votes",
+        "score_mean",
+        "score_median",
+        "score_max",
+        "score_min",
+        "vote_verdict",
+        F.col("verdict").alias("thr_verdict"),
+    )
 
 
 # ---------------------------------------------------------------------------

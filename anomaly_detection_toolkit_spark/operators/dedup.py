@@ -323,7 +323,9 @@ def _hot_bucket_split(
     hot-key list itself is tiny (floods are rare), so it broadcasts.
     """
     sizes = banded.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
-    hot = sizes.filter(F.col("_n") > max_bucket).select(key_col)
+    # persisted (tiny): referenced by both the anti and the semi join
+    # below — unpersisted, the size aggregation would run per side
+    hot = sizes.filter(F.col("_n") > max_bucket).select(key_col).persist()
     cold = banded.join(F.broadcast(hot), key_col, "left_anti")
     hot_ids = (
         banded.join(F.broadcast(hot), key_col, "left_semi").select("id").distinct()
@@ -731,11 +733,16 @@ def _star_components(
             .agg(F.min("v").alias("mn"))
             .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
         )
+        # persisted: mins2 and the ss join BOTH reference ls, and
+        # Spark does not CSE self-referenced plans — unpersisted, the
+        # whole large-star shuffle+distinct would execute twice per
+        # round (the edge set is data-sized here, not tiny)
         ls = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
+            .persist()
         )
         # small-star: ls edges are all (larger → smaller) already;
         # collapse each node's smaller neighbors (and itself) onto its
@@ -747,8 +754,9 @@ def _star_components(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(mins2.select(F.col("u"), F.col("m").alias("v")))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint()  # eager: safe to release ls right after
         )
+        ls.unpersist()
         rounds += 1
         n_new = ss.count()
         converged = n_new == n_edges and ss.subtract(edges).count() == 0

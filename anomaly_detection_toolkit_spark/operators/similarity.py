@@ -433,8 +433,20 @@ def embedding_near_dup_pairs(
         planes = plane_signs(n_planes, dim, table=t)
         v = v0.withColumn("bucket", srp_bucket(F.col("vec"), planes))
         if max_bucket is not None:
-            sizes = v.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))
-            hot = sizes.filter(F.col("_n") > max_bucket).select("bucket")
+            # persist: the bucketed projection (an interpreted-HOF
+            # stage) is referenced by the size aggregation, the hot
+            # semi/anti joins and both self-join sides — Spark does
+            # not CSE self-referenced plans, so unpersisted it would
+            # recompute the SRP projection ~4x per table; `hot` is
+            # persisted too (tiny) for its two broadcast references
+            v = v.persist()
+            hot = (
+                v.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > max_bucket)
+                .select("bucket")
+                .persist()
+            )
             hm = v.join(F.broadcast(hot), "bucket", "left_semi").select(
                 "id", "vec"
             )
@@ -476,5 +488,13 @@ def embedding_near_dup_pairs(
                 F.lit(1.0).alias("cosine_sim"),
             )
         )
-        out = out.unionByName(fallback).dropDuplicates(["id_a", "id_b"])
+        # a pair can reach BOTH paths (exact dups whose bucket is hot
+        # in one table, cold in another) with cosine values a ulp
+        # apart (computed dot vs literal 1.0) — resolve by max, which
+        # is deterministic, instead of dropDuplicates' arbitrary pick
+        out = (
+            out.unionByName(fallback)
+            .groupBy("id_a", "id_b")
+            .agg(F.max("cosine_sim").alias("cosine_sim"))
+        )
     return out

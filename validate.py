@@ -118,8 +118,10 @@ def main(argv: list[str] | None = None) -> int:
         metavar="PATH",
         default=None,
         help="after the run, write the CLEAN TABLE (input minus rows "
-        "whose entity id has an error-level violation in this run) to "
-        "PATH as parquet, partitioned by the partition column — the "
+        "whose entity id carries an error-level violation in the "
+        "output dir's violations sink — every recorded run, so "
+        "incremental runs still exclude rows flagged earlier) to PATH "
+        "as parquet, partitioned by the partition column — the "
         "consumable 'passing rows only' view a training pipeline "
         "reads. Join strategy picked by AQE from the violating-id "
         "side's runtime size (plans.runner.clean_table)",
@@ -206,10 +208,10 @@ def main(argv: list[str] | None = None) -> int:
                 "violations (nothing was validated)"
             )
         if args.clean_output:
-            print(
-                "clean table: skipped — needs a validation run's "
-                "violations (nothing was validated)"
-            )
+            # the ids come from the violations SINK, which exists from
+            # prior runs — a nothing-to-do rerun can still (re)write
+            # the clean view
+            _write_clean_output(spark, args)
         if args.compact_sinks:
             _compact(spark, args)
         return 0
@@ -248,20 +250,7 @@ def main(argv: list[str] | None = None) -> int:
             f"(run_seq={last['run_seq']}) -> {qpath}"
         )
     if args.clean_output:
-        from anomaly_detection_toolkit_spark.plans.runner import clean_table
-
-        cleaned = clean_table(
-            spark.read.parquet(args.input),
-            result.violations,
-            entity_col=args.clean_entity_col,
-        )
-        (
-            cleaned.write.mode("overwrite")
-            .partitionBy(args.part_col)
-            .parquet(args.clean_output)
-        )
-        n_clean = spark.read.parquet(args.clean_output).count()
-        print(f"clean table: {n_clean} passing rows -> {args.clean_output}")
+        _write_clean_output(spark, args)
     if args.history_drift:
         _run_history_drift(spark, args)
     if args.compact_sinks:
@@ -269,19 +258,46 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
-def _compact(spark, args) -> None:
-    from anomaly_detection_toolkit_spark.plans.runner import compact_sinks
+def _write_clean_output(spark, args) -> None:
+    """See --clean-output: anti-join every recorded run's error-level
+    entity ids (the violations sink) away from the input.
 
-    done = compact_sinks(spark, args.output)
-    for sink, (rows, files_before) in done.items():
-        if rows < 0:
-            print(
-                f"compaction of {sink} SKIPPED: a concurrent run changed "
-                f"its files mid-compaction ({files_before} files now) — "
-                "rerun --compact-sinks when no validation job is writing"
-            )
-        else:
-            print(f"compacted {sink}: {files_before} files -> 1 ({rows} rows)")
+    Sink-based (not this-run-based) on purpose: an --incremental run
+    revalidates only changed partitions, and rows flagged by EARLIER
+    runs must stay out of the 'passing rows only' output.
+    Conservative by design: a row flagged in any run stays excluded
+    until its partition is revalidated clean AND the stale run's sink
+    rows are compacted/pruned."""
+    import os
+
+    from anomaly_detection_toolkit_spark.plans.runner import clean_table
+
+    if args.violations_cap is not None:
+        print(
+            "clean table WARNING: --violations-cap keeps only "
+            "exemplar violation rows, so error rows beyond the cap "
+            "will NOT be removed from the clean output — drop the "
+            "cap when the clean table must be complete"
+        )
+    if args.format == "iceberg":
+        from anomaly_detection_toolkit_spark.sources.iceberg import read_table
+
+        src = read_table(spark, args.input, snapshot_id=args.snapshot_id)
+    else:
+        src = spark.read.parquet(args.input)
+    vpath = os.path.join(args.output, "violations")
+    if os.path.isdir(vpath):
+        all_viol = spark.read.option("mergeSchema", "true").parquet(vpath)
+        cleaned = clean_table(src, all_viol, entity_col=args.clean_entity_col)
+    else:  # no violations ever recorded: everything passes
+        cleaned = src
+    (
+        cleaned.write.mode("overwrite")
+        .partitionBy(args.part_col)
+        .parquet(args.clean_output)
+    )
+    n_clean = spark.read.parquet(args.clean_output).count()
+    print(f"clean table: {n_clean} passing rows -> {args.clean_output}")
 
 
 def _run_history_drift(spark, args) -> None:
