@@ -160,6 +160,53 @@ def srp_bucket(vec: Column, planes: list[list[int]]) -> Column:
     return bucket
 
 
+def srp_probe_buckets(
+    vec: Column, planes: list[list[int]], n_probes: int
+) -> Column:
+    """Multi-probe SRP bucket list (Lv et al., "Multi-Probe LSH",
+    VLDB'07, adapted to hyperplane signatures): the home bucket plus
+    the ``n_probes − 1`` buckets reached by flipping the planes with
+    the SMALLEST |margin| — a vector barely on one side of a
+    hyperplane most likely has its near neighbors just across it.
+
+    Pure array exprs: per-plane dots → ``arrays_zip`` with plane
+    indices → ``array_sort`` on |margin| → flip the top bits. Probing
+    T buckets from ONE plane set costs one T-way explode of the
+    (tiny, broadcast) query side — cheaper than T independent tables,
+    which re-signature and re-join the whole corpus per table.
+    Returns ARRAY<INT> of distinct bucket ids, length ≤ n_probes.
+    """
+    dots = []
+    for signs in planes:
+        sign_arr = F.array(*[F.lit(float(s)) for s in signs])
+        dots.append(dot(vec, sign_arr))
+    margins = F.array(*[F.abs(d) for d in dots])
+    home = srp_bucket(vec, planes)
+    if n_probes <= 1:
+        return F.array(home)
+    # sort (|margin|, plane_idx) pairs; take the n_probes-1 closest
+    order = F.transform(
+        F.slice(
+            F.array_sort(
+                F.arrays_zip(
+                    margins.alias("m"),
+                    F.sequence(F.lit(0), F.lit(len(planes) - 1)).alias("p"),
+                )
+            ),
+            1,
+            n_probes - 1,
+        ),
+        lambda s: s["p"],
+    )
+    flips = F.transform(
+        order,
+        lambda p: home.bitwiseXOR(
+            F.pow(F.lit(2.0), p.cast("double")).cast("int")
+        ),
+    )
+    return F.array_union(F.array(home), flips)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -171,11 +218,19 @@ def lsh_topk(
     target_bucket_rows: int = 256,
     n_rows_hint: int | None = None,
     n_tables: int = 4,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: exact cosine rerank restricted to the
     query's SRP-LSH bucket. One bucket-equi-join (broadcast query
     side) instead of a full cross product — corpus scan cost drops by
     ~2^n_planes; recall is whatever the bucket captures.
+
+    ``n_probes`` > 1 enables multi-probe (``srp_probe_buckets``): per
+    table each query also probes the buckets across its
+    lowest-|margin| hyperplanes. Candidate cost ≈ n_probes× per
+    table but the corpus is signatured/joined ONCE per table — the
+    cheaper recall lever than more tables (measured at 1M vectors in
+    ``BENCH/ANN_RECALL.md``).
 
     ``n_planes=None`` (default) derives the plane count from the
     corpus size so expected bucket size ≈ ``target_bucket_rows`` —
@@ -215,14 +270,21 @@ def lsh_topk(
     for t in range(n_tables):
         planes = plane_signs(n_planes, dim, table=t)
         c = c0.withColumn("bucket", srp_bucket(F.col("cv"), planes))
-        q = q0.withColumn("bucket", srp_bucket(F.col("qv"), planes))
+        if n_probes > 1:
+            # the explode multiplies only the broadcast query side
+            q = q0.withColumn(
+                "bucket",
+                F.explode(srp_probe_buckets(F.col("qv"), planes, n_probes)),
+            )
+        else:
+            q = q0.withColumn("bucket", srp_bucket(F.col("qv"), planes))
         part = (
             c.join(F.broadcast(q), "bucket")
             .filter(F.col("neighbor_id") != F.col("query_id"))
             .drop("bucket")
         )
         cand = part if cand is None else cand.unionByName(part)
-    if n_tables > 1:
+    if n_tables > 1 or n_probes > 1:
         cand = cand.dropDuplicates(["query_id", "neighbor_id"])
     scored = cand.withColumn(
         "cosine_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))

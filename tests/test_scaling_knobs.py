@@ -397,3 +397,45 @@ def test_embedding_near_dup_hot_bucket_cap(spark):
     assert pairs.count() < n_copies + 500
     pairs.unpersist()
     emb.unpersist()
+
+
+def test_multiprobe_srp_recovers_recall(spark):
+    """Multi-probe (flip lowest-|margin| planes) must strictly widen
+    the candidate set and recover top-1 recall on ONE table — the
+    cheaper lever than extra tables (corpus signatured once)."""
+    corpus = _emb(spark, 1000)
+    queries = corpus.filter(F.col("vec_id") < 60)
+    truth = {
+        r.query_id: r.neighbor_id
+        for r in sim.brute_force_topk(corpus, queries, k=1).collect()
+    }
+
+    def recall(**kw):
+        got = {
+            r.query_id: r.neighbor_id
+            for r in sim.lsh_topk(
+                corpus, queries, k=1, n_planes=6, dim=DIM, n_tables=1, **kw
+            ).collect()
+        }
+        return sum(got.get(q) == n for q, n in truth.items()) / len(truth)
+
+    r1, r4p = recall(), recall(n_probes=4)
+    assert r1 < 1.0
+    assert r4p > r1
+    # probe-list invariants: home bucket always included, all probes
+    # distinct, length bounded by n_probes
+    planes = sim.plane_signs(6, DIM)
+    rows = corpus.select(
+        sim.srp_bucket(F.col("embedding"), planes).alias("b"),
+        sim.srp_probe_buckets(F.col("embedding"), planes, 4).alias("pb"),
+    ).collect()
+    for r in rows:
+        assert r["b"] in r["pb"]
+        assert len(set(r["pb"])) == len(r["pb"]) <= 4
+        assert all(0 <= p < 64 for p in r["pb"])
+    # n_probes=1 degenerates to the exact home bucket
+    one = corpus.select(
+        sim.srp_probe_buckets(F.col("embedding"), planes, 1).alias("pb"),
+        sim.srp_bucket(F.col("embedding"), planes).alias("b"),
+    ).collect()
+    assert all(r["pb"] == [r["b"]] for r in one)

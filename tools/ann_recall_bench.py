@@ -92,7 +92,7 @@ def main() -> None:
     out["brute_force_sec"] = round(time.perf_counter() - t0, 2)
 
     lsh = {}
-    for n_tables in (1, 2, 4):
+    for n_tables, n_probes in ((1, 1), (2, 1), (4, 1), (1, 4), (1, 8), (2, 4)):
         t0 = time.perf_counter()
         res = sim.lsh_topk(
             corpus,
@@ -101,9 +101,10 @@ def main() -> None:
             n_rows_hint=args.n,
             target_bucket_rows=256,
             n_tables=n_tables,
+            n_probes=n_probes,
         )
         rec = recall_at_k(spark, res, truth, k, nq)
-        lsh[f"tables_{n_tables}"] = {
+        lsh[f"tables_{n_tables}_probes_{n_probes}"] = {
             "recall_at_10": rec,
             "sec": round(time.perf_counter() - t0, 2),
         }
@@ -169,8 +170,10 @@ def main() -> None:
         "|---|---|---|---|",
     ]
     for t, r in lsh.items():
+        parts = t.split("_")
         lines.append(
-            f"| SRP-LSH | n_tables={t.split('_')[1]} | {r['recall_at_10']} | {r['sec']} |"
+            f"| SRP-LSH | n_tables={parts[1]}, n_probes={parts[3]} "
+            f"| {r['recall_at_10']} | {r['sec']} |"
         )
     for p, r in ivf.items():
         lines.append(
