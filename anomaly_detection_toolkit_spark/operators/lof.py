@@ -39,6 +39,7 @@ from anomaly_detection_toolkit_spark.operators.similarity import (
     auto_n_planes,
     plane_signs,
     srp_bucket,
+    srp_probe_buckets,
 )
 
 
@@ -61,6 +62,7 @@ def approx_lof(
     target_bucket_rows: int = 256,
     n_rows_hint: int | None = None,
     n_tables: int = 1,
+    n_probes: int = 1,
 ) -> DataFrame:
     """(id, lof, verdict) for every vector with ≥1 bucket neighbor;
     isolated vectors (alone in their bucket) get lof NULL and verdict
@@ -79,7 +81,13 @@ def approx_lof(
     sizing count() when the caller knows N. ``n_tables`` > 1 unions
     neighbor candidates from independent plane sets (dedup on
     (id, nid)) — the standard recall recovery when high plane counts
-    split true neighborhoods across bucket boundaries."""
+    split true neighborhoods across bucket boundaries. ``n_probes``
+    > 1 additionally probes each vector's lowest-|margin| neighbor
+    buckets (multi-probe, ``similarity.srp_probe_buckets``): in this
+    SELF-join there is no small query side, so the probe explode
+    multiplies one join side's shuffle by ~n_probes — cheaper than
+    the same recall from extra tables (which re-join BOTH sides), but
+    not free like the query-side-only ``lsh_topk`` case."""
     if n_planes is None:
         n = n_rows_hint if n_rows_hint is not None else df.count()
         n_planes = auto_n_planes(n, target_bucket_rows)
@@ -87,6 +95,16 @@ def approx_lof(
     # knn feeds kdist, reach, AND the lof aggregation. Spark re-executes
     # self-referenced subtrees (no plan-level CSE — see CLAUDE.md), so
     # without persist the expensive bucket join runs three times.
+    probe_cols = (
+        [
+            srp_probe_buckets(
+                F.col(vec_col), plane_signs(n_planes, dim, table=t), n_probes
+            ).alias(f"probes{t}")
+            for t in range(n_tables)
+        ]
+        if n_probes > 1
+        else []
+    )
     v = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
@@ -96,10 +114,19 @@ def approx_lof(
             )
             for t in range(n_tables)
         ],
+        *probe_cols,
     ).persist()
-    a, b = v.alias("a"), v.alias("b")
+    b = v.alias("b")
     pairs = None
     for t in range(n_tables):
+        if n_probes > 1:
+            # explode the probe list into an equi-join key: only this
+            # side's shuffle grows by ~n_probes
+            a = v.select(
+                "id", "vec", F.explode(f"probes{t}").alias(f"bucket{t}")
+            ).alias("a")
+        else:
+            a = v.alias("a")
         part = a.join(
             b,
             (F.col(f"a.bucket{t}") == F.col(f"b.bucket{t}"))
@@ -110,7 +137,7 @@ def approx_lof(
             F.sqrt(_sq_dist(F.col("a.vec"), F.col("b.vec"))).alias("d"),
         )
         pairs = part if pairs is None else pairs.unionByName(part)
-    if n_tables > 1:
+    if n_tables > 1 or n_probes > 1:
         pairs = pairs.dropDuplicates(["id", "nid"])
     # rank on round(d, 6) with id tie-break: float-summation order
     # differs ~1ulp across engines/plans, and the DuckDB oracle must

@@ -59,3 +59,30 @@ def test_isolated_vector_policy(spark):
     out = {r.id: r for r in approx_lof(_df(spark, x), k=3, n_planes=2, dim=4).collect()}
     far = out[10]
     assert far.verdict == -1  # no neighborhood evidence OR high LOF
+
+
+def test_lof_multiprobe_widens_neighborhoods(spark):
+    """n_probes>1 must (a) keep one row per vector, (b) strictly not
+    lose any scored vector vs single-probe, (c) reduce or keep the
+    isolated (NULL-lof) count — probing across the nearest hyperplane
+    can only ADD bucket neighbors."""
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_toolkit_spark.operators.lof import approx_lof
+
+    frac = lambda c: c - F.floor(c)  # noqa: E731
+    cols = [
+        (frac(F.sin(F.col("id") * (12.9898 + 7.77 * d)) * 43758.5453) * 2 - 1)
+        .cast("double")
+        for d in range(8)
+    ]
+    df = spark.range(400).select(
+        F.col("id").alias("vec_id"), F.array(*cols).alias("embedding")
+    )
+    base = approx_lof(df, k=5, n_planes=6, dim=8)
+    probed = approx_lof(df, k=5, n_planes=6, dim=8, n_probes=3)
+    assert probed.count() == 400
+    assert probed.select("id").distinct().count() == 400
+    iso_base = base.filter(F.col("lof").isNull()).count()
+    iso_probed = probed.filter(F.col("lof").isNull()).count()
+    assert iso_probed <= iso_base
