@@ -511,6 +511,70 @@ def dedup_incremental_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# --- hot-band capped LSH (register_extra: local parity gate) ---
+# the round-4 skew bound end to end in SQL: band buckets over the cap
+# are excluded from the pair join and their member docs pair through
+# the exact-fingerprint group-min star at est 1.0. max_bucket=2 so
+# the documents table's planted exact-dup groups actually trip the
+# cap at sf0.01.
+
+_CAP = 2
+
+_CAPPED_SQL = f"""
+    WITH {_SIG_CTE},
+    banded AS (
+      SELECT doc_id, {', '.join(f's{i}' for i in range(_NUM_PERM))},
+             unnest([{', '.join(_band_exprs)}]) AS band_key
+      FROM sig
+    ),
+    hot AS (
+      SELECT band_key FROM banded GROUP BY band_key HAVING count(*) > {_CAP}
+    ),
+    cold AS (
+      SELECT * FROM banded WHERE band_key NOT IN (SELECT band_key FROM hot)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM cold a JOIN cold b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT p.id_a, p.id_b,
+             ({_agree_ab}) / {float(_NUM_PERM)} AS est
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.id_a
+      JOIN sig sb ON sb.doc_id = p.id_b
+      WHERE ({_agree_ab}) / {float(_NUM_PERM)} >= 0.5
+    ),
+    hot_ids AS (
+      SELECT DISTINCT doc_id FROM banded
+      WHERE band_key IN (SELECT band_key FROM hot)
+    ),
+    hfp AS (
+      SELECT d.doc_id, md5({NORM_SQL}) AS fp
+      FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM hot_ids)
+    ),
+    reps AS (SELECT fp, min(doc_id) AS id_a FROM hfp GROUP BY fp),
+    fallback AS (
+      SELECT r.id_a, h.doc_id AS id_b, 1.0 AS est
+      FROM hfp h JOIN reps r USING (fp)
+      WHERE h.doc_id <> r.id_a
+    )
+    SELECT id_a, id_b, round(est, 4) AS est_jaccard FROM scored
+    UNION
+    SELECT id_a, id_b, round(est, 4) AS est_jaccard FROM fallback
+"""
+
+
+@register_extra("dedup_minhash_capped_documents", _CAPPED_SQL)
+def dedup_minhash_capped_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, "documents", sf_dir)
+    out = dedup.minhash_lsh_pairs(
+        df, num_perm=_NUM_PERM, bands=_BANDS, threshold=0.5, max_bucket=_CAP
+    )
+    return out.select("id_a", "id_b", r4(F.col("est_jaccard")).alias("est_jaccard"))
+
+
 # --- corpus curation: token-budget packing + stratified sampling.
 # All-integer outputs (zero rounding hazard). The packing oracle
 # re-derives the two-phase prefix sum as one global window cumsum —
@@ -710,6 +774,83 @@ _ANN_TOPK_SQL = f"""
            round(cs, 4) AS cosine_sim, CAST(rnk AS INTEGER) AS rank
     FROM lr WHERE rnk <= {_K}
 """
+
+
+# --- multi-probe SRP top-k (register_extra: local parity gate) ---
+# the probe-list derivation — per-plane margins, sort by (|margin|,
+# plane), flip the n_probes-1 closest planes — is re-derived in
+# DuckDB over struct lists, then candidates = corpus rows whose home
+# bucket is in the query's probe set. Cross-engine exactness: both
+# engines evaluate the plane dot as the same left-to-right chain, so
+# margins (and the sort) are bit-identical.
+
+_N_PROBES = 3
+
+
+def _margin_sql(alias: str, p: int) -> str:
+    dotp = " + ".join(
+        f"({float(sgn)}) * CAST({alias}.embedding[{i + 1}] AS DOUBLE)"
+        for i, sgn in enumerate(_PLANES[p])
+    )
+    return f"abs({dotp})"
+
+
+_MPROBE_SQL = f"""
+    WITH {_E_CTE},
+    eb AS (SELECT e.vec_id, e.embedding, e.nrm, {_bucket_sql('e')} AS bucket FROM e),
+    qm AS (
+      SELECT eb.*,
+             list_transform(
+               list_slice(
+                 list_sort([
+                   {', '.join(
+                       "{'m': %s, 'p': %d}" % (_margin_sql('eb', p), p)
+                       for p in range(_N_PLANES)
+                   )}
+                 ]),
+                 1, {_N_PROBES - 1}
+               ),
+               s -> xor(bucket, (1 << s.p))
+             ) AS flips
+      FROM eb WHERE vec_id < {_N_QUERIES}
+    ),
+    qp AS (
+      SELECT vec_id, embedding, nrm,
+             list_distinct(list_prepend(bucket, flips)) AS probes
+      FROM qm
+    ),
+    cand AS (
+      SELECT DISTINCT qp.vec_id AS query_id, eb.vec_id AS neighbor_id,
+             {_DOT_SQL.format(a='qp', b='eb')} / (qp.nrm * eb.nrm) AS cs
+      FROM qp JOIN eb ON list_contains(qp.probes, eb.bucket)
+                     AND eb.vec_id <> qp.vec_id
+    ),
+    rr AS (
+      SELECT query_id, neighbor_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(cs, 6) DESC, neighbor_id) AS rnk
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, round(cs, 4) AS cosine_sim,
+           CAST(rnk AS INTEGER) AS rank
+    FROM rr WHERE rnk <= {_K}
+"""
+
+
+@register_extra("ann_multiprobe_topk_embeddings", _MPROBE_SQL)
+def ann_multiprobe_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    out = similarity.lsh_topk(
+        emb, queries, k=_K, n_planes=_N_PLANES, dim=_DIM,
+        n_tables=1, n_probes=_N_PROBES,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        r4(F.col("cosine_sim")).alias("cosine_sim"),
+        "rank",
+    )
 
 
 @register("ann_topk_embeddings", _ANN_TOPK_SQL)
