@@ -255,7 +255,19 @@ def main() -> None:
             f"written to {out} (rerun in a quiet window, or --force)"
         )
     out.parent.mkdir(parents=True, exist_ok=True)
-    out.write_text("\n".join(lines))
+    # historical appendix sections (prior rounds' samples, curation
+    # pipeline records, audit trails) survive the rewrite: everything
+    # at/after the marker is carried over verbatim — a round-4 rewrite
+    # once silently dropped the round-3 appendix
+    marker = "<!-- appendix:"
+    tail = ""
+    if out.exists() and marker in (prev := out.read_text()):
+        tail = "\n" + prev[prev.index(marker):]
+    elif args.out != str(out) and Path(args.out).exists():
+        prev = Path(args.out).read_text()
+        if marker in prev:
+            tail = "\n" + prev[prev.index(marker):]
+    out.write_text("\n".join(lines) + tail)
     print(f"wrote {out}")
     print("\n".join(lines))
 
