@@ -725,14 +725,22 @@ _N_PLANES = 4
 _PLANES = similarity.plane_signs(_N_PLANES, _DIM)
 
 
+def _plane_dot_sql(alias: str, p: int) -> str:
+    """The per-plane signed dot as ONE canonical left-to-right chain —
+    shared by the bucket and the multiprobe margin SQL so the
+    bit-exactness argument (identical summation order on both
+    engines) can never drift between the two call sites."""
+    return " + ".join(
+        f"({float(sgn)}) * CAST({alias}.embedding[{i + 1}] AS DOUBLE)"
+        for i, sgn in enumerate(_PLANES[p])
+    )
+
+
 def _bucket_sql(alias: str) -> str:
-    plane_cases = []
-    for p, signs in enumerate(_PLANES):
-        dotp = " + ".join(
-            f"({float(s)}) * CAST({alias}.embedding[{i + 1}] AS DOUBLE)"
-            for i, s in enumerate(signs)
-        )
-        plane_cases.append(f"(CASE WHEN ({dotp}) >= 0 THEN {1 << p} ELSE 0 END)")
+    plane_cases = [
+        f"(CASE WHEN ({_plane_dot_sql(alias, p)}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(len(_PLANES))
+    ]
     return "(" + " + ".join(plane_cases) + ")"
 
 
@@ -788,11 +796,7 @@ _N_PROBES = 3
 
 
 def _margin_sql(alias: str, p: int) -> str:
-    dotp = " + ".join(
-        f"({float(sgn)}) * CAST({alias}.embedding[{i + 1}] AS DOUBLE)"
-        for i, sgn in enumerate(_PLANES[p])
-    )
-    return f"abs({dotp})"
+    return f"abs({_plane_dot_sql(alias, p)})"
 
 
 _MPROBE_SQL = f"""

@@ -37,9 +37,11 @@ from pyspark.sql import functions as F
 
 from anomaly_detection_toolkit_spark.operators.similarity import (
     auto_n_planes,
+    plane_dots,
     plane_signs,
     srp_bucket,
-    srp_probe_buckets,
+    srp_bucket_from_dots,
+    srp_probe_buckets_from_dots,
 )
 
 
@@ -95,27 +97,48 @@ def approx_lof(
     # knn feeds kdist, reach, AND the lof aggregation. Spark re-executes
     # self-referenced subtrees (no plan-level CSE — see CLAUDE.md), so
     # without persist the expensive bucket join runs three times.
-    probe_cols = (
-        [
-            srp_probe_buckets(
-                F.col(vec_col), plane_signs(n_planes, dim, table=t), n_probes
-            ).alias(f"probes{t}")
-            for t in range(n_tables)
-        ]
-        if n_probes > 1
-        else []
-    )
-    v = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        *[
-            srp_bucket(F.col(vec_col), plane_signs(n_planes, dim, table=t)).alias(
-                f"bucket{t}"
-            )
-            for t in range(n_tables)
-        ],
-        *probe_cols,
-    ).persist()
+    if n_probes > 1:
+        # two projections: per-table plane dots materialized first,
+        # then bucket AND probe list derived by array indexing — the
+        # vector is folded n_planes times per table, not 3× that
+        # (no CSE across HOF lambdas; see similarity.plane_dots)
+        dotted = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            *[
+                plane_dots(
+                    F.col(vec_col), plane_signs(n_planes, dim, table=t)
+                ).alias(f"dots{t}")
+                for t in range(n_tables)
+            ],
+        )
+        v = dotted.select(
+            "id",
+            "vec",
+            *[
+                srp_bucket_from_dots(F.col(f"dots{t}"), n_planes).alias(
+                    f"bucket{t}"
+                )
+                for t in range(n_tables)
+            ],
+            *[
+                srp_probe_buckets_from_dots(
+                    F.col(f"dots{t}"), n_planes, n_probes
+                ).alias(f"probes{t}")
+                for t in range(n_tables)
+            ],
+        ).persist()
+    else:
+        v = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            *[
+                srp_bucket(
+                    F.col(vec_col), plane_signs(n_planes, dim, table=t)
+                ).alias(f"bucket{t}")
+                for t in range(n_tables)
+            ],
+        ).persist()
     b = v.alias("b")
     pairs = None
     for t in range(n_tables):
@@ -127,15 +150,44 @@ def approx_lof(
             ).alias("a")
         else:
             a = v.alias("a")
-        part = a.join(
+        joined = a.join(
             b,
             (F.col(f"a.bucket{t}") == F.col(f"b.bucket{t}"))
             & (F.col("a.id") != F.col("b.id")),
         ).select(
-            F.col("a.id").alias("id"),
-            F.col("b.id").alias("nid"),
+            F.col("a.id").alias("ida"),
+            F.col("b.id").alias("idb"),
             F.sqrt(_sq_dist(F.col("a.vec"), F.col("b.vec"))).alias("d"),
         )
+        if n_probes > 1:
+            # SYMMETRIZE: probe matches are one-directional (X probed
+            # into Y's home bucket), but the downstream kdist/lrd
+            # joins are inner joins that assume every neighbor also
+            # appears as an id — an orphan nid would silently drop
+            # out of the reach/lrd math and skew LOF over
+            # inconsistent neighbor subsets. Both directions are
+            # emitted from ONE pass (2-way explode, distance computed
+            # once — self-referencing the join output would re-execute
+            # it under Spark's no-plan-CSE rule), restoring the
+            # symmetric candidate relation the single-probe bucket
+            # equi-join has naturally.
+            part = joined.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("ida").alias("id"), F.col("idb").alias("nid")
+                        ),
+                        F.struct(
+                            F.col("idb").alias("id"), F.col("ida").alias("nid")
+                        ),
+                    )
+                ).alias("e"),
+                "d",
+            ).select("e.id", "e.nid", "d")
+        else:
+            part = joined.select(
+                F.col("ida").alias("id"), F.col("idb").alias("nid"), "d"
+            )
         pairs = part if pairs is None else pairs.unionByName(part)
     if n_tables > 1 or n_probes > 1:
         pairs = pairs.dropDuplicates(["id", "nid"])

@@ -160,6 +160,64 @@ def srp_bucket(vec: Column, planes: list[list[int]]) -> Column:
     return bucket
 
 
+def plane_dots(vec: Column, planes: list[list[int]]) -> Column:
+    """ARRAY<DOUBLE> of the vector's per-plane signed dot products —
+    materialize this ONCE in its own projection when both the bucket
+    and the probe list are needed: Spark evaluates each projection
+    column independently (no CSE across HOF lambdas — CLAUDE.md), so
+    deriving bucket + margins + flips from inline dots would fold the
+    vector n_planes×3 times per row."""
+    cols = []
+    for signs in planes:
+        sign_arr = F.array(*[F.lit(float(s)) for s in signs])
+        cols.append(dot(vec, sign_arr))
+    return F.array(*cols)
+
+
+def srp_bucket_from_dots(dots: Column, n_planes: int) -> Column:
+    """Bucket id from a precomputed ``plane_dots`` array (cheap array
+    indexing, no re-fold)."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        bucket = bucket + F.when(dots[p] >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def srp_probe_buckets_from_dots(
+    dots: Column, n_planes: int, n_probes: int
+) -> Column:
+    """Probe-bucket list from a precomputed ``plane_dots`` array —
+    see ``srp_probe_buckets`` for semantics."""
+    # pow(2, p) is exact in double up to p=52 and auto_n_planes caps
+    # at 24; F.shiftleft requires a literal shift so it cannot take
+    # the lambda-bound plane index
+    assert n_planes <= 30, "plane index must stay in int32 bit range"
+    margins = F.array(*[F.abs(dots[p]) for p in range(n_planes)])
+    home = srp_bucket_from_dots(dots, n_planes)
+    if n_probes <= 1:
+        return F.array(home)
+    order = F.transform(
+        F.slice(
+            F.array_sort(
+                F.arrays_zip(
+                    margins.alias("m"),
+                    F.sequence(F.lit(0), F.lit(n_planes - 1)).alias("p"),
+                )
+            ),
+            1,
+            n_probes - 1,
+        ),
+        lambda s: s["p"],
+    )
+    flips = F.transform(
+        order,
+        lambda p: home.bitwiseXOR(
+            F.pow(F.lit(2.0), p.cast("double")).cast("int")
+        ),
+    )
+    return F.array_union(F.array(home), flips)
+
+
 def srp_probe_buckets(
     vec: Column, planes: list[list[int]], n_probes: int
 ) -> Column:
@@ -175,36 +233,14 @@ def srp_probe_buckets(
     (tiny, broadcast) query side — cheaper than T independent tables,
     which re-signature and re-join the whole corpus per table.
     Returns ARRAY<INT> of distinct bucket ids, length ≤ n_probes.
+
+    Convenience composition — operators on data-sized inputs should
+    materialize ``plane_dots`` in its own projection and use
+    ``srp_probe_buckets_from_dots`` so the vector is folded once.
     """
-    dots = []
-    for signs in planes:
-        sign_arr = F.array(*[F.lit(float(s)) for s in signs])
-        dots.append(dot(vec, sign_arr))
-    margins = F.array(*[F.abs(d) for d in dots])
-    home = srp_bucket(vec, planes)
-    if n_probes <= 1:
-        return F.array(home)
-    # sort (|margin|, plane_idx) pairs; take the n_probes-1 closest
-    order = F.transform(
-        F.slice(
-            F.array_sort(
-                F.arrays_zip(
-                    margins.alias("m"),
-                    F.sequence(F.lit(0), F.lit(len(planes) - 1)).alias("p"),
-                )
-            ),
-            1,
-            n_probes - 1,
-        ),
-        lambda s: s["p"],
+    return srp_probe_buckets_from_dots(
+        plane_dots(vec, planes), len(planes), n_probes
     )
-    flips = F.transform(
-        order,
-        lambda p: home.bitwiseXOR(
-            F.pow(F.lit(2.0), p.cast("double")).cast("int")
-        ),
-    )
-    return F.array_union(F.array(home), flips)
 
 
 def lsh_topk(
@@ -271,10 +307,19 @@ def lsh_topk(
         planes = plane_signs(n_planes, dim, table=t)
         c = c0.withColumn("bucket", srp_bucket(F.col("cv"), planes))
         if n_probes > 1:
-            # the explode multiplies only the broadcast query side
-            q = q0.withColumn(
-                "bucket",
-                F.explode(srp_probe_buckets(F.col("qv"), planes, n_probes)),
+            # the explode multiplies only the broadcast query side;
+            # dots materialized first so the vector folds once
+            q = (
+                q0.withColumn("_dots", plane_dots(F.col("qv"), planes))
+                .withColumn(
+                    "bucket",
+                    F.explode(
+                        srp_probe_buckets_from_dots(
+                            F.col("_dots"), n_planes, n_probes
+                        )
+                    ),
+                )
+                .drop("_dots")
             )
         else:
             q = q0.withColumn("bucket", srp_bucket(F.col("qv"), planes))
@@ -284,7 +329,11 @@ def lsh_topk(
             .drop("bucket")
         )
         cand = part if cand is None else cand.unionByName(part)
-    if n_tables > 1 or n_probes > 1:
+    # duplicates only arise ACROSS tables: within one table a neighbor
+    # has exactly one home bucket and the query's probe list is
+    # distinct, so each (query, neighbor) matches at most once —
+    # single-table multiprobe needs no dedup shuffle
+    if n_tables > 1:
         cand = cand.dropDuplicates(["query_id", "neighbor_id"])
     scored = cand.withColumn(
         "cosine_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))

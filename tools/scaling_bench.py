@@ -261,12 +261,14 @@ def main() -> None:
     # once silently dropped the round-3 appendix
     marker = "<!-- appendix:"
     tail = ""
-    if out.exists() and marker in (prev := out.read_text()):
+    # the CANONICAL file's appendix is authoritative even when the
+    # burst path redirects the write to <out>.burst.md — a stale
+    # appendix copy inside an old burst file must not shadow it
+    canonical = Path(args.out)
+    if canonical.exists() and marker in (prev := canonical.read_text()):
         tail = "\n" + prev[prev.index(marker):]
-    elif args.out != str(out) and Path(args.out).exists():
-        prev = Path(args.out).read_text()
-        if marker in prev:
-            tail = "\n" + prev[prev.index(marker):]
+    elif out.exists() and marker in (prev := out.read_text()):
+        tail = "\n" + prev[prev.index(marker):]
     out.write_text("\n".join(lines) + tail)
     print(f"wrote {out}")
     print("\n".join(lines))
