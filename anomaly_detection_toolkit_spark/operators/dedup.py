@@ -150,10 +150,11 @@ def ngram_jaccard_pairs(
     # join on the 60-bit hash of the gram, not the string: smaller
     # shuffle payload + integer key compare. Collision risk 2^-60 per
     # pair — negligible vs the shuffle win. Grams built post-explode
-    # (codegen'd — see exploded_gram_hashes). PERSISTED: three
-    # subtrees (sizes, both join sides, optional df-prune) reference
-    # this table.
-    exploded = exploded_gram_hashes(df, text_col, id_col, n).persist()
+    # (codegen'd — see exploded_gram_hashes). localCheckpoint (eager):
+    # three subtrees (sizes, both join sides, optional df-prune)
+    # reference this table; GC-released with the result plan rather
+    # than pinned in the cache manager for the session.
+    exploded = exploded_gram_hashes(df, text_col, id_col, n).localCheckpoint()
     # shingles are distinct per doc, so the per-doc set size is just
     # the exploded row count — no second shingle pass
     sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -323,9 +324,12 @@ def _hot_bucket_split(
     hot-key list itself is tiny (floods are rare), so it broadcasts.
     """
     sizes = banded.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
-    # persisted (tiny): referenced by both the anti and the semi join
-    # below — unpersisted, the size aggregation would run per side
-    hot = sizes.filter(F.col("_n") > max_bucket).select(key_col).persist()
+    # localCheckpoint (tiny, eager): referenced by both the anti and
+    # the semi join below — unmaterialized, the size aggregation would
+    # run per side; unlike persist() the checkpointed blocks are
+    # released by the ContextCleaner when the result plan is dropped,
+    # so repeated capped-LSH calls don't pin caches for the session
+    hot = sizes.filter(F.col("_n") > max_bucket).select(key_col).localCheckpoint()
     cold = banded.join(F.broadcast(hot), key_col, "left_anti")
     hot_ids = (
         banded.join(F.broadcast(hot), key_col, "left_semi").select("id").distinct()
@@ -386,9 +390,11 @@ def minhash_lsh_pairs(
     their other, non-flooded bands in the join. Pinned by
     tests/test_scaling_knobs.py on a planted 5k-copy template.
     """
-    # persisted: the self-join references the banded table twice and
-    # would otherwise run the signature aggregation once per side
-    banded = build_lsh_index(df, text_col, id_col, num_perm, bands, n).persist()
+    # localCheckpoint (eager): the self-join references the banded
+    # table twice and would otherwise run the signature aggregation
+    # once per side; checkpoint blocks are GC-released with the result
+    # plan instead of pinning the cache manager for the session
+    banded = build_lsh_index(df, text_col, id_col, num_perm, bands, n).localCheckpoint()
     fallback = None
     if max_bucket is not None:
         banded, hot_ids = _hot_bucket_split(banded, "band_key", max_bucket)
@@ -596,9 +602,12 @@ def simhash_pairs(
     their members resolve through the linear exact-duplicate fallback
     (hamming=0 pairs to the group min)."""
     th = df.select(F.col(id_col).alias("id"), token_hashes(F.col(text_col)).alias("th"))
-    # persisted: the block-key self-join references this twice; the
-    # simhash bit-votes are the expensive (interpreted-lambda) stage
-    sh = th.select("id", simhash_from_hashes(F.col("th"), bits).alias("sh")).persist()
+    # localCheckpoint (eager): the block-key self-join references this
+    # twice; the simhash bit-votes are the expensive
+    # (interpreted-lambda) stage. GC-released, not session-pinned.
+    sh = th.select(
+        "id", simhash_from_hashes(F.col("th"), bits).alias("sh")
+    ).localCheckpoint()
     n_blocks = max_hamming + 1
     base, extra = divmod(bits, n_blocks)
     chunk_keys, off = [], 0

@@ -544,19 +544,22 @@ def embedding_near_dup_pairs(
         planes = plane_signs(n_planes, dim, table=t)
         v = v0.withColumn("bucket", srp_bucket(F.col("vec"), planes))
         if max_bucket is not None:
-            # persist: the bucketed projection (an interpreted-HOF
-            # stage) is referenced by the size aggregation, the hot
-            # semi/anti joins and both self-join sides — Spark does
-            # not CSE self-referenced plans, so unpersisted it would
-            # recompute the SRP projection ~4x per table; `hot` is
-            # persisted too (tiny) for its two broadcast references
-            v = v.persist()
+            # localCheckpoint (eager): the bucketed projection (an
+            # interpreted-HOF stage) is referenced by the size
+            # aggregation, the hot semi/anti joins and both self-join
+            # sides — Spark does not CSE self-referenced plans, so
+            # unmaterialized it would recompute the SRP projection
+            # ~4x per table; `hot` (tiny) likewise for its two
+            # broadcast references. Checkpoint blocks are GC-released
+            # with the result plan — repeated calls don't pin caches
+            # for the session lifetime the way persist() did.
+            v = v.localCheckpoint()
             hot = (
                 v.groupBy("bucket")
                 .agg(F.count(F.lit(1)).alias("_n"))
                 .filter(F.col("_n") > max_bucket)
                 .select("bucket")
-                .persist()
+                .localCheckpoint()
             )
             hm = v.join(F.broadcast(hot), "bucket", "left_semi").select(
                 "id", "vec"

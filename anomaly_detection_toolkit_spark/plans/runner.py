@@ -517,9 +517,12 @@ def compact_sinks(
     the initial listing would be silently dropped by the swap. The
     file listing is therefore re-checked immediately before the swap
     and the sink is skipped (entry ``(-1, files_now)``) if it
-    changed; the unavoidable two-rename gap where the sink path is
-    briefly absent is kept to the two syscalls, and a crash in the
-    gap leaves ``<sink>.bak`` intact for manual recovery.
+    changed. After the first compaction each sink path is a SYMLINK
+    to a versioned data dir (``<sink>.data0``/``.data1``) and the
+    swap is one atomic rename of a fresh symlink — readers never see
+    an absent sink. Only the initial plain-dir→symlink conversion
+    retains a two-syscall absence window (once per sink ever), with
+    ``<sink>.bak`` intact for manual recovery on a crash in the gap.
 
     Returns ``{sink: (rows, files_before)}`` for what was compacted;
     a skipped sink maps to ``(-1, current_file_count)``.
@@ -565,9 +568,36 @@ def compact_sinks(
         bak = path + ".bak"
         if os.path.isdir(bak):
             shutil.rmtree(bak)
-        os.rename(path, bak)
-        os.rename(tmp, path)
-        shutil.rmtree(bak)
+        if os.path.islink(path):
+            # steady state: <sink> is a symlink to a versioned data
+            # dir (<sink>.data0/.data1), so the swap is ONE atomic
+            # rename of a fresh symlink over the old one — readers
+            # never observe an absent sink path
+            old_data = os.path.realpath(path)
+            new_data = path + (
+                ".data1" if old_data.endswith(".data0") else ".data0"
+            )
+            if os.path.isdir(new_data):
+                shutil.rmtree(new_data)
+            os.rename(tmp, new_data)
+            swap = path + ".swap"
+            if os.path.lexists(swap):
+                os.remove(swap)
+            os.symlink(os.path.basename(new_data), swap)
+            os.rename(swap, path)
+            shutil.rmtree(old_data)
+        else:
+            # first compaction converts the plain append dir into the
+            # symlink layout; the only brief-absence window (two
+            # syscalls between the renames) lives here, once per sink
+            # ever, with <sink>.bak intact for recovery on a crash
+            new_data = path + ".data0"
+            if os.path.isdir(new_data):
+                shutil.rmtree(new_data)
+            os.rename(tmp, new_data)
+            os.rename(path, bak)
+            os.symlink(os.path.basename(new_data), path)
+            shutil.rmtree(bak)
         done[sink] = (n_after, len(files_before))
     return done
 

@@ -46,10 +46,20 @@ def _load1() -> float:
 
 
 def _round_number() -> int:
-    """Current build round, inferred from the driver's committed
-    BENCH_r{N}.json records (next = max present + 1)."""
+    """Current build round. An explicit override (``--round N`` argv
+    or ``ADT_BENCH_ROUND`` env) wins; otherwise inferred from the
+    driver's committed BENCH_r{N}.json records (next = max present
+    + 1). The inference is correct during a round's build phase but
+    off by one for a re-run AFTER the driver has already written this
+    round's BENCH_r{N}.json — the override exists so such a rerun can
+    still append to the right append-only BENCH/queries_r{N}.json
+    instead of silently splitting the per-round history."""
     import re
 
+    if "--round" in sys.argv:
+        return int(sys.argv[sys.argv.index("--round") + 1])
+    if os.environ.get("ADT_BENCH_ROUND"):
+        return int(os.environ["ADT_BENCH_ROUND"])
     rounds = [
         int(m.group(1))
         for p in REPO.glob("BENCH_r*.json")

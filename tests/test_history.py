@@ -421,6 +421,25 @@ def test_compact_sinks_preserves_rows_and_reduces_files(spark, tmp_path):
         assert not os.path.isdir(f"{out}/{s}.bak")
         assert not os.path.isdir(f"{out}/{s}.compact.tmp")
 
+    # steady state: sink paths are now symlinks to versioned data
+    # dirs; a further append + second compaction swaps via one atomic
+    # symlink rename (no absent-path window) and keeps exactly one
+    # version on disk
+    assert all(os.path.islink(f"{out}/{s}") for s in before)
+    shutil.copytree(f"{src}/part=1", f"{src}/part=3")
+    assert R.run_validation_job(spark, src, out, checks=suite, incremental=True)
+    before2 = {s: rows(s) for s in ("verdicts", "violations", "metrics")}
+    done2 = R.compact_sinks(spark, out)
+    for s, snapshot in before2.items():
+        assert done2[s][0] >= 0, s
+        assert rows(s) == snapshot, s
+        assert files(s) == 1, s
+        assert os.path.islink(f"{out}/{s}"), s
+        n_versions = os.path.isdir(f"{out}/{s}.data0") + os.path.isdir(
+            f"{out}/{s}.data1"
+        )
+        assert n_versions == 1, s
+
     repo = Path(__file__).resolve().parent.parent
     res = subprocess.run(
         [sys.executable, str(repo / "tools" / "report.py"), out],

@@ -276,6 +276,42 @@ def test_northstar_oracle_assumptions(spark):
         assert ks < 0.15, f"part {part} phash KS {ks}"
 
 
+def test_validate_cli_compact_sinks(spark, tmp_path):
+    """validate.py --compact-sinks must compact after validation.
+    Regression: a refactor once dropped the _compact helper while both
+    call sites remained, so every --compact-sinks run crashed with
+    NameError AFTER the validation work finished — only a CLI-level
+    test catches that."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from anomaly_detection_toolkit_spark.sources import images
+
+    repo = Path(__file__).resolve().parent.parent
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    images.write_images(spark, src, 200, n_parts=2)
+    res = subprocess.run(
+        [
+            sys.executable,
+            str(repo / "validate.py"),
+            "--input", src,
+            "--output", out,
+            "--compact-sinks",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(repo),
+        timeout=420,
+    )
+    assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+    assert "compact: verdicts" in res.stdout
+    # sinks stay readable through the post-compaction symlink layout
+    assert spark.read.parquet(f"{out}/verdicts").count() > 0
+    assert spark.read.parquet(f"{out}/metrics").count() > 0
+
+
 def test_validate_cli_clean_output(spark, tmp_path):
     """validate.py --clean-output writes the passing-rows-only table:
     every error-level entity id from the run's violations is absent,

@@ -138,7 +138,10 @@ def main(argv: list[str] | None = None) -> int:
         help="after the run, rewrite each append-mode sink as one "
         "parquet file (years of appended runs = small-files problem; "
         "the sinks are tiny in bytes). Parquet-dir sinks only — on "
-        "Iceberg use rewrite_data_files",
+        "Iceberg use rewrite_data_files. The swap is atomic (symlink "
+        "flip) except the very first compaction of a sink, which has "
+        "a two-syscall window where the path is absent; sinks a "
+        "concurrent run appends to mid-compaction are skipped",
     )
     ap.add_argument(
         "--violations-cap",
@@ -298,6 +301,28 @@ def _write_clean_output(spark, args) -> None:
     )
     n_clean = spark.read.parquet(args.clean_output).count()
     print(f"clean table: {n_clean} passing rows -> {args.clean_output}")
+
+
+def _compact(spark, args) -> None:
+    """See --compact-sinks: rewrite each append-mode sink as one
+    parquet file via ``plans.runner.compact_sinks``. A sink that a
+    concurrent run appended to mid-compaction is skipped (reported
+    here), not silently dropped — rerun when the writer is done."""
+    from anomaly_detection_toolkit_spark.plans.runner import compact_sinks
+
+    done = compact_sinks(spark, args.output)
+    if not done:
+        print("compact: no sinks found")
+        return
+    for sink, (rows, files) in sorted(done.items()):
+        if rows == -1:
+            print(
+                f"compact: {sink} SKIPPED — concurrent append detected "
+                f"({files} files now); rerun --compact-sinks when the "
+                "other run finishes"
+            )
+        else:
+            print(f"compact: {sink} {files} files -> 1 ({rows} rows)")
 
 
 def _run_history_drift(spark, args) -> None:
