@@ -14,7 +14,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from anomaly_detection_toolkit_spark.entry_queries import r4, register, register_extra
-from anomaly_detection_toolkit_spark.operators import curation, dedup, similarity, text
+from anomaly_detection_toolkit_spark.operators import (
+    curation,
+    dedup,
+    ivf_index,
+    similarity,
+    text,
+)
 from anomaly_detection_toolkit_spark.operators.dedup import MERSENNE31, _perm_params
 from anomaly_detection_toolkit_spark.sources.testdata import load_table
 
@@ -965,12 +971,32 @@ def _ivf_oracle_sql() -> str:
     """
 
 
+# round 5: the pair runs through the PERSISTED index (build once per
+# process per sf_dir into a temp dir, then partition-pruned ivf_query)
+# so the driver gate hash-checks the production API, not the one-shot
+# convenience path. Same centroids/assignment → same oracle.
+_IVF_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _IVF_INDEX_CACHE:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="adt_ivf_idx_")
+        emb = load_table(spark, "embeddings", sf_dir)
+        ivf_index.build_ivf_index(
+            emb, path, n_cells=_IVF_CELLS, seed=_IVF_SEED
+        )
+        _IVF_INDEX_CACHE[sf_dir] = path
+    return _IVF_INDEX_CACHE[sf_dir]
+
+
 @register("ann_ivf_topk_embeddings", _ivf_oracle_sql)
 def ann_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    out = similarity.ivf_topk(
-        emb, queries, k=_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE, seed=_IVF_SEED
+    out = ivf_index.ivf_query(
+        spark, _ivf_index_for(spark, sf_dir), queries, k=_K, n_probe=_IVF_PROBE
     )
     return out.select(
         "query_id", "neighbor_id", r4(F.col("cosine_sim")).alias("cosine_sim"), "rank"

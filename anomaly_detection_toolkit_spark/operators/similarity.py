@@ -133,17 +133,7 @@ def brute_force_topk(
             "cosine_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
         )
     )
-    # rank on round(cos, 6): float-summation association differs across
-    # engines/plans by ~1ulp; rounding makes the ranking reproducible,
-    # with neighbor id as the deterministic tie-break
-    w = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("cosine_sim"), 6).desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
-    )
+    return topk_rerank(scored, k)
 
 
 def srp_bucket(vec: Column, planes: list[list[int]]) -> Column:
@@ -338,14 +328,7 @@ def lsh_topk(
     scored = cand.withColumn(
         "cosine_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("cosine_sim"), 6).desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
-    )
+    return topk_rerank(scored, k)
 
 
 def collect_vector_sample(
@@ -411,6 +394,51 @@ def fit_kmeans_arrays(
     return cent
 
 
+def ivf_cell_udfs(cent: np.ndarray, n_probe: int):
+    """``(cell_of, probe_of)`` pandas UDFs with the centroid matrix in
+    closure — shared by the one-shot ``ivf_topk`` and the persisted
+    ``operators.ivf_index`` build/query paths so cell-assignment
+    semantics stay bit-identical with the DuckDB oracle.
+
+    Cell scores are rounded to 6dp before argmax/argsort (matching
+    the oracle's ORDER BY round(score,6) DESC, c): BLAS summation
+    order differs from any re-derivation's, and an unquantized
+    near-tie between two cells would flip assignment cross-engine.
+    Ties after rounding resolve to the LOWEST cell on both sides
+    (np first-max / stable argsort ⇔ ORDER BY ..., c)."""
+    half_norms = 0.5 * (cent * cent).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def cell_of(v: pd.Series) -> pd.Series:
+        xb = np.stack([np.asarray(a, dtype=np.float64) for a in v])
+        s = np.round(xb @ cent.T - half_norms, 6)
+        return pd.Series(np.argmax(s, axis=1).astype(np.int32))
+
+    @F.pandas_udf("array<int>")
+    def probe_of(v: pd.Series) -> pd.Series:
+        xb = np.stack([np.asarray(a, dtype=np.float64) for a in v])
+        s = np.round(xb @ cent.T - half_norms, 6)
+        idx = np.argsort(-s, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype(np.int32) for row in idx])
+
+    return cell_of, probe_of
+
+
+def topk_rerank(scored: DataFrame, k: int) -> DataFrame:
+    """Exact-cosine rank/filter shared by every ANN path: rank on
+    round(cos, 6) (float-summation association differs across
+    engines/plans by ~1ulp; rounding makes the ranking reproducible)
+    with neighbor id as the deterministic tie-break."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine_sim"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -438,29 +466,17 @@ def ivf_topk(
     construction (boundary neighbors in unprobed cells) — measured in
     tests, not hidden.
 
+    One-shot convenience: cell assignment is recomputed over the FULL
+    corpus on every call, so repeated query batches against a stable
+    corpus should use ``operators.ivf_index`` (build once into a
+    cell-partitioned inverted file, probe via partition pruning) —
+    at 1M vectors the per-call assignment makes this path cost the
+    same as brute force (BENCH/ANN_RECALL.md).
+
     Output: (query_id, neighbor_id, cosine_sim, rank)."""
     x = collect_vector_sample(corpus, id_col, vec_col, max_fit_rows, seed)
     cent = fit_kmeans_arrays(x, n_cells)
-    half_norms = 0.5 * (cent * cent).sum(axis=1)
-
-    # cell scores are rounded to 6dp before argmax/argsort (matching
-    # the oracle's ORDER BY round(score,6) DESC, c): BLAS summation
-    # order differs from any re-derivation's, and an unquantized
-    # near-tie between two cells would flip assignment cross-engine.
-    # Ties after rounding resolve to the LOWEST cell on both sides
-    # (np first-max / stable argsort ⇔ ORDER BY ..., c).
-    @F.pandas_udf("int")
-    def cell_of(v: pd.Series) -> pd.Series:
-        xb = np.stack([np.asarray(a, dtype=np.float64) for a in v])
-        s = np.round(xb @ cent.T - half_norms, 6)
-        return pd.Series(np.argmax(s, axis=1).astype(np.int32))
-
-    @F.pandas_udf("array<int>")
-    def probe_of(v: pd.Series) -> pd.Series:
-        xb = np.stack([np.asarray(a, dtype=np.float64) for a in v])
-        s = np.round(xb @ cent.T - half_norms, 6)
-        idx = np.argsort(-s, axis=1, kind="stable")[:, :n_probe]
-        return pd.Series([row.astype(np.int32) for row in idx])
+    cell_of, probe_of = ivf_cell_udfs(cent, n_probe)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -481,14 +497,7 @@ def ivf_topk(
             "cosine_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("cosine_sim"), 6).desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
-    )
+    return topk_rerank(scored, k)
 
 
 def embedding_near_dup_pairs(

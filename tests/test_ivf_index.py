@@ -1,0 +1,178 @@
+"""Persisted IVF inverted-file index (operators/ivf_index.py).
+
+Pins the three contracts that make the build/query split the scale
+path (VERDICT r4 #1/#5):
+1. query-via-index ≡ the one-shot ``ivf_topk`` (same centroids,
+   same assignment, same rerank) — hash-level row equality;
+2. the probe scan is PARTITION-PRUNED: files read ∝ probed cells,
+   not n_cells (asserted on the FileSourceScan's numFiles metric);
+3. incremental update under frozen centroids reconstructs exactly
+   the full assignment of the current corpus (changed partitions
+   dropped + re-assigned, unchanged partitions untouched on disk).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_toolkit_spark.operators import ivf_index as ivf
+from anomaly_detection_toolkit_spark.operators import similarity as sim
+
+SF_UNIT = "/root/testdata/sf0.001"
+N_CELLS = 8
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_UNIT}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf") / "idx")
+    ivf.build_ivf_index(emb, path, n_cells=N_CELLS)
+    return path
+
+
+def _scan_metrics(df):
+    """numFiles/numPartitions of the executed plan's scan leaf. The
+    df must have been COLLECTED (not counted — count() wraps the plan
+    in a fresh query execution whose metrics never populate)."""
+    scan = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    m = scan.metrics()
+    return {
+        k: m.apply(k).value()
+        for k in ("numFiles", "numPartitions")
+        if m.contains(k)
+    }
+
+
+def test_layout_and_manifest(index_path, spark, emb):
+    manifest, cent = ivf.load_ivf_manifest(index_path)
+    assert manifest["n_cells"] == N_CELLS and manifest["dim"] == 64
+    assert cent.shape == (N_CELLS, 64)
+    idx = spark.read.parquet(os.path.join(index_path, "cells"))
+    assert idx.count() == emb.count()
+    # every row in exactly one cell, norms precomputed
+    assert set(idx.columns) >= {"vec_id", "embedding", "nrm", "cell", "src_part"}
+    cells = {r["cell"] for r in idx.select("cell").distinct().collect()}
+    assert cells <= set(range(N_CELLS))
+
+
+def test_query_matches_one_shot_ivf_topk(spark, emb, index_path):
+    queries = emb.filter(F.col("vec_id") < 8)
+    via_index = ivf.ivf_query(spark, index_path, queries, k=5, n_probe=2)
+    one_shot = sim.ivf_topk(emb, queries, k=5, n_cells=N_CELLS, n_probe=2)
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], round(r["cosine_sim"], 6), r["rank"])
+            for r in df.collect()
+        )
+
+    got = rows(via_index)
+    assert got == rows(one_shot)
+    assert len(got) == 8 * 5
+
+
+def test_probe_scan_is_partition_pruned(spark, index_path):
+    """Files read ∝ probed cells: probing 2 of 8 cells must touch
+    only those cells' files — the scan's numFiles metric equals the
+    on-disk file count under the two probed dirs, strictly below the
+    total. This is the contract that keeps query cost independent of
+    n_cells/corpus size at 10^12 rows."""
+    on_disk = {
+        c: len(
+            glob.glob(
+                os.path.join(index_path, "cells", f"cell={c}", "**", "*.parquet"),
+                recursive=True,
+            )
+        )
+        for c in range(N_CELLS)
+    }
+    assert sum(on_disk.values()) > on_disk[1] + on_disk[3]
+    pruned = ivf.read_probed_cells(spark, index_path, [1, 3])
+    pruned.collect()
+    m = _scan_metrics(pruned)
+    assert m["numFiles"] == on_disk[1] + on_disk[3]
+    assert m["numPartitions"] == 2
+
+
+def test_incremental_update_reconstructs_full_assignment(spark, emb, tmp_path):
+    """Freshness seam: build at corpus v1, then update with only the
+    changed/new partitions of v2 — the index must equal the full
+    assignment of v2 under the SAME frozen centroids, and unchanged
+    partitions' files must not be rewritten."""
+    part = (F.col("vec_id") % 4).cast("int")
+    v2 = emb.withColumn("part", part)
+    # v1: part 2 doesn't exist yet; part 1's vectors were different
+    v1 = v2.filter(F.col("part") != 2).withColumn(
+        "embedding",
+        F.when(
+            F.col("part") == 1,
+            F.transform("embedding", lambda x: x * F.lit(0.5)),
+        ).otherwise(F.col("embedding")),
+    )
+    path = str(tmp_path / "idx")
+    ivf.build_ivf_index(v1, path, n_cells=N_CELLS, src_part_col="part")
+    manifest, cent = ivf.load_ivf_manifest(path)
+
+    untouched_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(
+            os.path.join(path, "cells", "cell=*", "src_part=0", "*.parquet")
+        )
+    }
+    assert untouched_files
+
+    changed = v2.filter(F.col("part").isin(1, 2))
+    refreshed = ivf.update_ivf_index(spark, path, changed)
+    assert refreshed == [1, 2]
+
+    def snap(df):
+        return sorted(
+            (r["vec_id"], int(r["cell"]), int(r["src_part"]), round(r["nrm"], 6))
+            for r in df.collect()
+        )
+
+    got = snap(spark.read.parquet(os.path.join(path, "cells")))
+    want = snap(ivf._assign(v2, cent, "vec_id", "embedding", "part"))
+    assert got == want
+    # unchanged partitions: same files, same mtimes (never rewritten)
+    for f, mtime in untouched_files.items():
+        assert os.path.getmtime(f) == mtime, f
+
+    # queries against the refreshed index behave: every query finds
+    # k neighbors and ranks are dense 1..k
+    out = ivf.ivf_query(
+        spark, path, v2.filter(F.col("vec_id") < 4), k=3, n_probe=2
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(by_q) == {0, 1, 2, 3}
+    assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
+
+
+def test_update_handles_deleted_partition(spark, emb, tmp_path):
+    """A partition deleted upstream (present in the index, absent
+    from the changed rows) is dropped when named in changed_parts."""
+    v = emb.withColumn("part", (F.col("vec_id") % 2).cast("int"))
+    path = str(tmp_path / "idx")
+    ivf.build_ivf_index(v, path, n_cells=4, src_part_col="part")
+    empty = v.filter(F.lit(False))
+    ivf.update_ivf_index(spark, path, empty, changed_parts=[1])
+    left = spark.read.parquet(os.path.join(path, "cells"))
+    assert left.filter(F.col("src_part") == 1).count() == 0
+    assert left.count() == v.filter(F.col("part") == 0).count()
+
+
+def test_update_without_lineage_refuses(spark, emb, tmp_path):
+    path = str(tmp_path / "idx")
+    ivf.build_ivf_index(emb, path, n_cells=4)  # no src_part_col
+    with pytest.raises(ValueError, match="src_part_col"):
+        ivf.update_ivf_index(spark, path, emb)
