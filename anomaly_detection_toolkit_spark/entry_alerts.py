@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from anomaly_detection_toolkit_spark.entry_queries import r4, register
+from anomaly_detection_toolkit_spark.entry_queries import r4, register, register_extra
 from anomaly_detection_toolkit_spark.operators import alerts
 from anomaly_detection_toolkit_spark.sources.testdata import load_table
 
@@ -97,7 +97,10 @@ _TOPK_SQL = """
 """
 
 
-@register("topk_recent_events", _TOPK_SQL)
+# round 5: retired to register_extra (simple window top-k, green
+# since round 1) — its driver slot goes to the round-4 hot-band
+# capped-LSH pair (gate-rotation rule: newest code in the window)
+@register_extra("topk_recent_events", _TOPK_SQL)
 def topk_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 

@@ -517,7 +517,9 @@ def dedup_incremental_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-# --- hot-band capped LSH (register_extra: local parity gate) ---
+# --- hot-band capped LSH (round 5: PROMOTED to the driver gate —
+# the round-4 skew-cap code is load-bearing at scale; slot freed by
+# retiring topk_recent_events) ---
 # the round-4 skew bound end to end in SQL: band buckets over the cap
 # are excluded from the pair join and their member docs pair through
 # the exact-fingerprint group-min star at est 1.0. max_bucket=2 so
@@ -572,7 +574,7 @@ _CAPPED_SQL = f"""
 """
 
 
-@register_extra("dedup_minhash_capped_documents", _CAPPED_SQL)
+@register("dedup_minhash_capped_documents", _CAPPED_SQL)
 def dedup_minhash_capped_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, "documents", sf_dir)
     out = dedup.minhash_lsh_pairs(
@@ -750,9 +752,63 @@ def _bucket_sql(alias: str) -> str:
     return "(" + " + ".join(plane_cases) + ")"
 
 
-# brute-force and SRP-LSH top-k share one pair (same table, same
-# output grain, distinguished by a `method` column) — merged in round
-# 3 to free a registry slot for the IVF scale path below
+# multi-probe CTEs shared by the merged gate pair and the standalone
+# extra pair: the probe-list derivation — per-plane margins, sort by
+# (|margin|, plane), flip the n_probes-1 closest planes — re-derived
+# in DuckDB over struct lists, then candidates = corpus rows whose
+# home bucket is in the query's probe set. Cross-engine exactness:
+# both engines evaluate the plane dot as the same left-to-right
+# chain, so margins (and the sort) are bit-identical.
+_N_PROBES = 3
+
+
+def _margin_sql(alias: str, p: int) -> str:
+    return f"abs({_plane_dot_sql(alias, p)})"
+
+
+_MPROBE_CTES = f"""
+    qm AS (
+      SELECT eb.*,
+             list_transform(
+               list_slice(
+                 list_sort([
+                   {', '.join(
+                       "{'m': %s, 'p': %d}" % (_margin_sql('eb', p), p)
+                       for p in range(_N_PLANES)
+                   )}
+                 ]),
+                 1, {_N_PROBES - 1}
+               ),
+               s -> xor(bucket, (1 << s.p))
+             ) AS flips
+      FROM eb WHERE vec_id < {_N_QUERIES}
+    ),
+    qp AS (
+      SELECT vec_id, embedding, nrm,
+             list_distinct(list_prepend(bucket, flips)) AS probes
+      FROM qm
+    ),
+    mc AS (
+      SELECT DISTINCT qp.vec_id AS query_id, eb.vec_id AS neighbor_id,
+             {_DOT_SQL.format(a='qp', b='eb')} / (qp.nrm * eb.nrm) AS cs
+      FROM qp JOIN eb ON list_contains(qp.probes, eb.bucket)
+                     AND eb.vec_id <> qp.vec_id
+    ),
+    mr AS (
+      SELECT query_id, neighbor_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(cs, 6) DESC, neighbor_id) AS rnk
+      FROM mc
+    )
+"""
+
+
+# brute-force, SRP-LSH and multi-probe SRP top-k share one pair (same
+# table, same output grain, distinguished by a `method` column) —
+# brute+lsh merged in round 3 to free a registry slot for the IVF
+# scale path; multiprobe folded in in round 5 so the round-4 probe
+# code gets a DRIVER-GATED row without consuming a slot (the
+# standalone pair stays under register_extra).
 _ANN_TOPK_SQL = f"""
     WITH {_E_CTE},
     q AS (SELECT * FROM e WHERE vec_id < {_N_QUERIES}),
@@ -779,7 +835,8 @@ _ANN_TOPK_SQL = f"""
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY round(cs, 6) DESC, neighbor_id) AS rnk
       FROM ls
-    )
+    ),
+    {_MPROBE_CTES}
     SELECT 'brute' AS method, query_id, neighbor_id,
            round(cs, 4) AS cosine_sim, CAST(rnk AS INTEGER) AS rank
     FROM br WHERE rnk <= {_K}
@@ -787,63 +844,23 @@ _ANN_TOPK_SQL = f"""
     SELECT 'lsh' AS method, query_id, neighbor_id,
            round(cs, 4) AS cosine_sim, CAST(rnk AS INTEGER) AS rank
     FROM lr WHERE rnk <= {_K}
+    UNION ALL
+    SELECT 'mprobe' AS method, query_id, neighbor_id,
+           round(cs, 4) AS cosine_sim, CAST(rnk AS INTEGER) AS rank
+    FROM mr WHERE rnk <= {_K}
 """
 
 
-# --- multi-probe SRP top-k (register_extra: local parity gate) ---
-# the probe-list derivation — per-plane margins, sort by (|margin|,
-# plane), flip the n_probes-1 closest planes — is re-derived in
-# DuckDB over struct lists, then candidates = corpus rows whose home
-# bucket is in the query's probe set. Cross-engine exactness: both
-# engines evaluate the plane dot as the same left-to-right chain, so
-# margins (and the sort) are bit-identical.
-
-_N_PROBES = 3
-
-
-def _margin_sql(alias: str, p: int) -> str:
-    return f"abs({_plane_dot_sql(alias, p)})"
-
+# --- multi-probe SRP top-k standalone (register_extra: local parity
+# gate; the same CTEs are driver-gated inside ann_topk_embeddings) ---
 
 _MPROBE_SQL = f"""
     WITH {_E_CTE},
     eb AS (SELECT e.vec_id, e.embedding, e.nrm, {_bucket_sql('e')} AS bucket FROM e),
-    qm AS (
-      SELECT eb.*,
-             list_transform(
-               list_slice(
-                 list_sort([
-                   {', '.join(
-                       "{'m': %s, 'p': %d}" % (_margin_sql('eb', p), p)
-                       for p in range(_N_PLANES)
-                   )}
-                 ]),
-                 1, {_N_PROBES - 1}
-               ),
-               s -> xor(bucket, (1 << s.p))
-             ) AS flips
-      FROM eb WHERE vec_id < {_N_QUERIES}
-    ),
-    qp AS (
-      SELECT vec_id, embedding, nrm,
-             list_distinct(list_prepend(bucket, flips)) AS probes
-      FROM qm
-    ),
-    cand AS (
-      SELECT DISTINCT qp.vec_id AS query_id, eb.vec_id AS neighbor_id,
-             {_DOT_SQL.format(a='qp', b='eb')} / (qp.nrm * eb.nrm) AS cs
-      FROM qp JOIN eb ON list_contains(qp.probes, eb.bucket)
-                     AND eb.vec_id <> qp.vec_id
-    ),
-    rr AS (
-      SELECT query_id, neighbor_id, cs,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY round(cs, 6) DESC, neighbor_id) AS rnk
-      FROM cand
-    )
+    {_MPROBE_CTES}
     SELECT query_id, neighbor_id, round(cs, 4) AS cosine_sim,
            CAST(rnk AS INTEGER) AS rank
-    FROM rr WHERE rnk <= {_K}
+    FROM mr WHERE rnk <= {_K}
 """
 
 
@@ -876,7 +893,11 @@ def ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         # measured in BENCH/ANN_RECALL.md, not a semantics change)
         emb, queries, k=_K, n_planes=_N_PLANES, dim=_DIM, n_tables=1
     ).withColumn("method", F.lit("lsh"))
-    return brute.unionByName(lsh).select(
+    mprobe = similarity.lsh_topk(
+        emb, queries, k=_K, n_planes=_N_PLANES, dim=_DIM,
+        n_tables=1, n_probes=_N_PROBES,
+    ).withColumn("method", F.lit("mprobe"))
+    return brute.unionByName(lsh).unionByName(mprobe).select(
         "method",
         "query_id",
         "neighbor_id",

@@ -563,6 +563,13 @@ from anomaly_detection_toolkit_spark import entry_suite  # noqa: E402,F401
 # round adds pairs without re-counting.
 _GATE_CAP = 50
 _PRIORITY = [
+    # round-5 rotation: newest load-bearing code first — the hot-band
+    # capped-LSH pair (promoted; topk_recent_events retired to extra)
+    # and the two ANN pairs that now exercise round-5 code (the
+    # persisted-index query path; the multiprobe fold)
+    "dedup_minhash_capped_documents",
+    "ann_ivf_topk_embeddings",
+    "ann_topk_embeddings",
     # round-4 rotation: the newest, previously gate-less pairs
     # register first so they ALWAYS land inside the driver's window
     "history_drift_events",

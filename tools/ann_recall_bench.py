@@ -113,7 +113,11 @@ def main() -> None:
 
     ivf = {}
     n_cells = 1024
-    for n_probe in (1, 2, 4):
+    for n_probe in (4,):
+        # one-shot convenience path, kept as the contrast row: cell
+        # assignment recomputed over the full corpus per call, so its
+        # wall time ≈ brute force regardless of n_probe (round 4
+        # measured 32.5s vs 31.2s at every depth)
         t0 = time.perf_counter()
         res = sim.ivf_topk(
             corpus,
@@ -130,6 +134,38 @@ def main() -> None:
             "sec": round(time.perf_counter() - t0, 2),
         }
     out["ivf_1024_cells"] = ivf
+
+    # --- persisted inverted file (round 5): build once, query many —
+    # the retrieval default at scale. Build cost is the one corpus-
+    # sized pass; each query batch then reads ONLY its probed cells
+    # via partition pruning.
+    import shutil
+    import tempfile
+
+    from anomaly_detection_toolkit_spark.operators import ivf_index as ivfx
+
+    idx_dir = tempfile.mkdtemp(prefix="ann_ivf_idx_")
+    t0 = time.perf_counter()
+    ivfx.build_ivf_index(
+        corpus, idx_dir, n_cells=n_cells, max_fit_rows=50_000, seed=42
+    )
+    build_sec = round(time.perf_counter() - t0, 2)
+    idxq = {}
+    for n_probe in (1, 2, 4):
+        t0 = time.perf_counter()
+        res = ivfx.ivf_query(spark, idx_dir, queries, k=k, n_probe=n_probe)
+        rec = recall_at_k(spark, res, truth, k, nq)
+        idxq[f"probe_{n_probe}"] = {
+            "recall_at_10": rec,
+            "sec": round(time.perf_counter() - t0, 2),
+            "default": n_probe == 4,
+        }
+    out["ivf_index"] = {
+        "n_cells": n_cells,
+        "build_sec": build_sec,
+        "query": idxq,
+    }
+    shutil.rmtree(idx_dir)
 
     # linear candidate growth: E[candidates/row] = sum(b^2)/N from the
     # bucket histogram alone, with AUTO plane sizing per N — constant
@@ -177,10 +213,26 @@ def main() -> None:
         )
     for p, r in ivf.items():
         lines.append(
-            f"| IVF (1024 cells) | n_probe={p.split('_')[1]} | {r['recall_at_10']} | {r['sec']} |"
+            f"| IVF one-shot (1024 cells, assignment re-run per call) "
+            f"| n_probe={p.split('_')[1]} | {r['recall_at_10']} | {r['sec']} |"
+        )
+    for p, r in idxq.items():
+        tag = " **(retrieval default)**" if r["default"] else ""
+        lines.append(
+            f"| IVF index (1024 cells, built once: {build_sec}s) "
+            f"| n_probe={p.split('_')[1]}{tag} | {r['recall_at_10']} | {r['sec']} |"
         )
     lines += [
         f"| brute force | exact | 1.0 | {out['brute_force_sec']} |",
+        "",
+        "Retrieval default = persisted IVF index at n_probe=4 "
+        "(`operators.ivf_index`): build pays the corpus-sized "
+        "assignment once; each query batch reads only its probed "
+        "cells via partition pruning, so query wall-time is "
+        "independent of corpus size. SRP-LSH is scoped to near-dup "
+        "CANDIDATE GENERATION (pairs re-scored exactly downstream) — "
+        "its generic-kNN recall at constant bucket size does not "
+        "meet the ≥0.9 retrieval bar (see rows above; docs/SCALE.md).",
         "",
         "## Candidate growth under auto plane sizing",
         "",
