@@ -9,13 +9,20 @@ Two paths, mirroring production vector-search tiers:
   Top-k per query = window `row_number` partitioned by query id.
   At 10^12 vectors this is one full corpus scan per batch of
   queries — correct, bandwidth-bound, embarrassingly parallel.
-- **LSH-bucketed** (the scale path): random-hyperplane signatures
+- **LSH-bucketed**: random-hyperplane signatures
   (signs of dot products with `n_planes` deterministic ±1
   hyperplanes — Charikar SRP-LSH) computed per-row with array
   exprs; candidates = corpus rows sharing the query's bucket, so the
   scan touches ~corpus/2^n_planes rows per query. Same exact-cosine
   rerank on the candidates. Recall<1 by construction — benchmarked,
-  not hidden.
+  not hidden. Scoped to near-dup CANDIDATE GENERATION at scale
+  (misses are high-angle pairs; measured recall in
+  BENCH/ANN_RECALL.md).
+
+For generic top-k RETRIEVAL at 10^6+ vectors the default is the
+persisted IVF inverted file (``operators/ivf_index`` — build once,
+partition-pruned probes); the one-shot ``ivf_topk`` here shares its
+assignment math and serves as its oracle-gated correctness twin.
 
 Hyperplanes are derived from the cross-engine md5 hash (same trick
 as dedup.py) so DuckDB oracles reproduce buckets exactly: plane p,
