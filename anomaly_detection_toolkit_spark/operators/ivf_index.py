@@ -282,6 +282,12 @@ def update_ivf_index(
     assigned = _assign(
         changed_df, cent, manifest["id_col"], manifest["vec_col"], src_part_col
     )
+    # with an EXPLICIT changed_parts list, rows of other partitions
+    # must not append — their old index rows were never dropped, so
+    # appending them again would duplicate
+    assigned = assigned.filter(
+        F.col("src_part").isin([int(p) for p in changed_parts])
+    )
     (
         assigned.repartition("cell", "src_part")
         .write.mode("append")

@@ -171,6 +171,23 @@ def test_update_handles_deleted_partition(spark, emb, tmp_path):
     assert left.count() == v.filter(F.col("part") == 0).count()
 
 
+def test_update_ignores_rows_outside_changed_parts(spark, emb, tmp_path):
+    """An explicit changed_parts list scopes the append too: rows of
+    OTHER partitions in changed_df must not append (their old index
+    rows were never dropped — appending again would duplicate)."""
+    v = emb.withColumn("part", (F.col("vec_id") % 2).cast("int"))
+    path = str(tmp_path / "idx")
+    ivf.build_ivf_index(v, path, n_cells=4, src_part_col="part")
+    n0 = spark.read.parquet(os.path.join(path, "cells")).count()
+    # caller passes the FULL table but names only part 1 as changed
+    ivf.update_ivf_index(spark, path, v, changed_parts=[1])
+    idx = spark.read.parquet(os.path.join(path, "cells"))
+    assert idx.count() == n0  # part 0 not duplicated
+    assert idx.filter(F.col("src_part") == 1).count() == v.filter(
+        F.col("part") == 1
+    ).count()
+
+
 def test_update_without_lineage_refuses(spark, emb, tmp_path):
     path = str(tmp_path / "idx")
     ivf.build_ivf_index(emb, path, n_cells=4)  # no src_part_col
