@@ -25,6 +25,17 @@ Five dedup families, each with an explicit scale story:
 Every hash is the cross-engine 60-bit md5 hash from ``text.py`` so
 the DuckDB oracles reproduce signatures bit-for-bit.
 
+Materialization convention (here and in ``similarity.py``): tables a
+self-join references twice are EAGERLY ``localCheckpoint()``ed, not
+``persist()``ed — Spark does not CSE self-referenced plans, and a
+function-internal persist has no unpersist point, pinning the cache
+manager for the session (round-5 leak fix). The documented trade:
+checkpoint blocks have no lineage, so on a multi-executor cluster
+losing an executor mid-operator fails the job instead of recomputing
+(acceptable for these short-lived intra-operator intermediates —
+rerun the operator), and the materialization job runs at plan-BUILD
+time (callers pay it even if they only ``explain()`` the result).
+
 MinHash math: h_i(s) = (a_i * (H(s) mod 2^30) + b_i) mod P with
 P = 2^31 - 1 (prime), a_i,b_i < 2^30 derived from md5(i) — products
 stay < 2^61 so int64 arithmetic is exact (and identical) in both

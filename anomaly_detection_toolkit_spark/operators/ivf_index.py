@@ -259,7 +259,14 @@ def update_ivf_index(
     semantics here; on an object store/catalog the equivalent is a
     partition-predicate DELETE. Never rewrites unchanged cells: the
     corpus² assignment work is never re-run, mirroring
-    ``dedup.incremental_lsh_pairs``."""
+    ``dedup.incremental_lsh_pairs``.
+
+    Crash safety: the replacement rows are fully WRITTEN (to a
+    staging dir) before any stale dir is removed, then moved into
+    place with per-partition renames — a failed Spark job leaves the
+    index untouched, and a crash mid-move leaves the staging dir
+    intact so a rerun of the same update self-heals (it rewrites the
+    staging dir, re-deletes, re-moves)."""
     manifest, cent = load_ivf_manifest(index_path)
     src_part_col = manifest.get("src_part_col")
     if src_part_col is None:
@@ -269,16 +276,19 @@ def update_ivf_index(
             "with build_ivf_index(..., src_part_col=...)"
         )
     if changed_parts is None:
-        changed_parts = sorted(
-            int(r[src_part_col])
+        vals = [
+            r[src_part_col]
             for r in changed_df.select(src_part_col).distinct().collect()
-        )
+        ]
+        if any(v is None for v in vals):
+            raise ValueError(
+                f"update_ivf_index: NULL values in {src_part_col!r} — "
+                "source-partition lineage must be non-null (a null would "
+                "land in __HIVE_DEFAULT_PARTITION__ and could never be "
+                "refreshed incrementally)"
+            )
+        changed_parts = sorted(int(v) for v in vals)
     cells_path = os.path.join(index_path, CELLS)
-    for p in changed_parts:
-        for d in glob.glob(
-            os.path.join(cells_path, "cell=*", f"src_part={int(p)}")
-        ):
-            shutil.rmtree(d)
     assigned = _assign(
         changed_df, cent, manifest["id_col"], manifest["vec_col"], src_part_col
     )
@@ -288,10 +298,27 @@ def update_ivf_index(
     assigned = assigned.filter(
         F.col("src_part").isin([int(p) for p in changed_parts])
     )
+    # stage first: the delete below must only run once the
+    # replacement rows are durably on disk
+    staging = cells_path + ".update.tmp"
     (
         assigned.repartition("cell", "src_part")
-        .write.mode("append")
+        .write.mode("overwrite")
         .partitionBy("cell", "src_part")
-        .parquet(cells_path)
+        .parquet(staging)
     )
+    for p in changed_parts:
+        for d in glob.glob(
+            os.path.join(cells_path, "cell=*", f"src_part={int(p)}")
+        ):
+            shutil.rmtree(d)
+    for part_dir in glob.glob(os.path.join(staging, "cell=*", "src_part=*")):
+        cell_dir, leaf = os.path.split(part_dir)
+        dest_cell = os.path.join(cells_path, os.path.basename(cell_dir))
+        os.makedirs(dest_cell, exist_ok=True)
+        dest = os.path.join(dest_cell, leaf)
+        if os.path.isdir(dest):  # rerun after a mid-move crash
+            shutil.rmtree(dest)
+        os.rename(part_dir, dest)
+    shutil.rmtree(staging)
     return list(changed_parts)

@@ -572,7 +572,11 @@ def compact_sinks(
             # steady state: <sink> is a symlink to a versioned data
             # dir (<sink>.data0/.data1), so the swap is ONE atomic
             # rename of a fresh symlink over the old one — readers
-            # never observe an absent sink path
+            # never observe an absent sink path. The superseded data
+            # dir is NOT deleted here: a reader that resolved the
+            # symlink just before the flip may still be mid-read in
+            # it, so it lingers one cycle (sinks are tiny) and the
+            # NEXT compaction's rmtree below reclaims it.
             old_data = os.path.realpath(path)
             new_data = path + (
                 ".data1" if old_data.endswith(".data0") else ".data0"
@@ -585,7 +589,6 @@ def compact_sinks(
                 os.remove(swap)
             os.symlink(os.path.basename(new_data), swap)
             os.rename(swap, path)
-            shutil.rmtree(old_data)
         else:
             # first compaction converts the plain append dir into the
             # symlink layout; the only brief-absence window (two

@@ -56,8 +56,14 @@ def _round_number() -> int:
     instead of silently splitting the per-round history."""
     import re
 
-    if "--round" in sys.argv:
-        return int(sys.argv[sys.argv.index("--round") + 1])
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
+        if a == "--round":
+            if i + 1 >= len(argv):
+                raise SystemExit("bench.py: --round needs a value")
+            return int(argv[i + 1])
+        if a.startswith("--round="):
+            return int(a.split("=", 1)[1])
     if os.environ.get("ADT_BENCH_ROUND"):
         return int(os.environ["ADT_BENCH_ROUND"])
     rounds = [
@@ -66,6 +72,39 @@ def _round_number() -> int:
         if (m := re.match(r"BENCH_r(\d+)\.json$", p.name))
     ]
     return (max(rounds) + 1) if rounds else 1
+
+
+def append_round_record(record: dict) -> Path:
+    """Append ``record`` to the round's APPEND-ONLY
+    ``BENCH/queries_r{N}.json`` (shared by bench.py and
+    tools/suite_stress.py so the two writers cannot drift).
+
+    A corrupt/truncated existing file (a crashed writer mid
+    ``write_text``) is PRESERVED under ``.corrupt-<n>`` before a
+    fresh list starts — the per-round evidence trail must never be
+    silently destroyed by a rescue write."""
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    round_file = bench_dir / f"queries_r{_round_number():02d}.json"
+    history: list = []
+    if round_file.exists():
+        try:
+            history = json.loads(round_file.read_text())
+            if not isinstance(history, list):  # pragma: no cover
+                history = [history]
+        except ValueError:
+            n = 0
+            while (keep := Path(f"{round_file}.corrupt-{n}")).exists():
+                n += 1
+            round_file.rename(keep)
+            print(
+                f"bench: {round_file.name} was corrupt — preserved as "
+                f"{keep.name}, starting a fresh history",
+                file=sys.stderr,
+            )
+    history.append(record)
+    round_file.write_text(json.dumps(history, indent=1))
+    return round_file
 
 
 def ensure_image_table(spark, n: int, n_parts: int) -> str:
@@ -300,15 +339,7 @@ def main() -> None:
     # quiet-window numbers — queries_latest.json is just "most recent",
     # queries_r{N}.json is the full evidence trail for round N
     if sf == "0.1":
-        round_file = bench_dir / f"queries_r{_round_number():02d}.json"
-        try:
-            history = json.loads(round_file.read_text())
-            if not isinstance(history, list):  # pragma: no cover
-                history = [history]
-        except (OSError, ValueError):
-            history = []
-        history.append(record)
-        round_file.write_text(json.dumps(history, indent=1))
+        append_round_record(record)
     # stop the JVM BEFORE printing: stray executor log lines (GC
     # warnings etc.) on stdout after the JSON would corrupt a
     # take-the-last-line parse of the bench output. The headline line

@@ -423,8 +423,9 @@ def test_compact_sinks_preserves_rows_and_reduces_files(spark, tmp_path):
 
     # steady state: sink paths are now symlinks to versioned data
     # dirs; a further append + second compaction swaps via one atomic
-    # symlink rename (no absent-path window) and keeps exactly one
-    # version on disk
+    # symlink rename (no absent-path window). The superseded version
+    # dir is retained ONE cycle (in-flight readers may still hold it)
+    # and reclaimed by the next swap.
     assert all(os.path.islink(f"{out}/{s}") for s in before)
     shutil.copytree(f"{src}/part=1", f"{src}/part=3")
     assert R.run_validation_job(spark, src, out, checks=suite, incremental=True)
@@ -435,10 +436,9 @@ def test_compact_sinks_preserves_rows_and_reduces_files(spark, tmp_path):
         assert rows(s) == snapshot, s
         assert files(s) == 1, s
         assert os.path.islink(f"{out}/{s}"), s
-        n_versions = os.path.isdir(f"{out}/{s}.data0") + os.path.isdir(
-            f"{out}/{s}.data1"
-        )
-        assert n_versions == 1, s
+        # the symlink resolves to a live data dir; both versions may
+        # exist transiently (deferred delete), never zero
+        assert os.path.isdir(os.path.realpath(f"{out}/{s}")), s
 
     repo = Path(__file__).resolve().parent.parent
     res = subprocess.run(

@@ -20,7 +20,7 @@ after — CLAUDE.md co-tenant-burst discipline) and on >= 60 GB free
 disk (table + spill).
 
 Usage: python tools/suite_stress.py [--small 500000] [--big 2000000]
-       [--runs 2] [--big-runs 1]
+       [--runs 2] [--big-runs 2] [--round N]
 """
 
 from __future__ import annotations
@@ -36,12 +36,8 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def _load1() -> float:
-    return round(os.getloadavg()[0], 2)
-
-
 def profile_level(spark, n_images: int, runs: int) -> dict:
-    from bench import _noop_write, ensure_image_table
+    from bench import _load1, _noop_write, ensure_image_table
     from anomaly_detection_toolkit_spark.plans.checks import default_suite
     from anomaly_detection_toolkit_spark.plans.runner import run_suite
 
@@ -105,7 +101,14 @@ def main() -> None:
     ap.add_argument("--big", type=int, default=2_000_000)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--big-runs", type=int, default=2)
+    ap.add_argument(
+        "--round", type=int, default=None,
+        help="append to BENCH/queries_r{N}.json for this round "
+        "(default: inferred, see bench._round_number)",
+    )
     args = ap.parse_args()
+    if args.round is not None:
+        os.environ["ADT_BENCH_ROUND"] = str(args.round)
 
     os.environ.setdefault(
         "ADT_SPARK_DRIVER_MEM", os.environ.get("ADT_STRESS_DRIVER_MEM", "96g")
@@ -153,17 +156,9 @@ def main() -> None:
     bench.mkdir(exist_ok=True)
     (bench / "suite_stress_2m.json").write_text(json.dumps(record, indent=1))
 
-    from bench import _round_number
+    from bench import append_round_record
 
-    round_file = bench / f"queries_r{_round_number():02d}.json"
-    try:
-        history = json.loads(round_file.read_text())
-        if not isinstance(history, list):  # pragma: no cover
-            history = [history]
-    except (OSError, ValueError):
-        history = []
-    history.append(record)
-    round_file.write_text(json.dumps(history, indent=1))
+    append_round_record(record)
     print(json.dumps(record))
 
 
