@@ -102,6 +102,25 @@ def test_probe_scan_is_partition_pruned(spark, index_path):
     assert m["numPartitions"] == 2
 
 
+def test_ivf_query_final_plan_broadcasts_and_prunes(spark, emb, index_path):
+    """The executed ADAPTIVE plan of the full query: the tiny probe
+    side goes over a BroadcastExchange (the corpus side never
+    shuffles) and the inverted-file scan carries the cell partition
+    filter. Read AFTER collect() — count() would wrap the plan in a
+    fresh execution and the adaptive plan would stay at its static
+    estimate (CLAUDE.md)."""
+    out = ivf.ivf_query(
+        spark, index_path, emb.filter(F.col("vec_id") < 4), k=3, n_probe=2
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastExchange" in plan
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+
+
 def test_incremental_update_reconstructs_full_assignment(spark, emb, tmp_path):
     """Freshness seam: build at corpus v1, then update with only the
     changed/new partitions of v2 — the index must equal the full
