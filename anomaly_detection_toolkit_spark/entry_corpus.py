@@ -893,6 +893,10 @@ def ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         # measured in BENCH/ANN_RECALL.md, not a semantics change)
         emb, queries, k=_K, n_planes=_N_PLANES, dim=_DIM, n_tables=1
     ).withColumn("method", F.lit("lsh"))
+    # the lsh and mprobe calls each project corpus buckets (no shared
+    # subplan) — accepted: this pair is a CORRECTNESS gate over three
+    # methods on a small table, not a production plan; a real caller
+    # picks one method (docs/SCALE.md) and pays one projection
     mprobe = similarity.lsh_topk(
         emb, queries, k=_K, n_planes=_N_PLANES, dim=_DIM,
         n_tables=1, n_probes=_N_PROBES,
@@ -993,21 +997,36 @@ def _ivf_oracle_sql() -> str:
 
 
 # round 5: the pair runs through the PERSISTED index (build once per
-# process per sf_dir into a temp dir, then partition-pruned ivf_query)
-# so the driver gate hash-checks the production API, not the one-shot
-# convenience path. Same centroids/assignment → same oracle.
+# source-table STATE, then partition-pruned ivf_query) so the driver
+# gate hash-checks the production API, not the one-shot convenience
+# path. Same centroids/assignment → same oracle. The cache path is
+# DETERMINISTIC, keyed by (sf_dir, embeddings mtime+size): repeated
+# processes reuse one dir instead of leaking a fresh /tmp copy each,
+# and a regenerated source table gets a fresh key instead of a stale
+# index; dirs built by THIS process are removed at exit.
 _IVF_INDEX_CACHE: dict[str, str] = {}
 
 
 def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir not in _IVF_INDEX_CACHE:
+        import atexit
+        import hashlib
+        import os
+        import shutil
         import tempfile
 
-        path = tempfile.mkdtemp(prefix="adt_ivf_idx_")
-        emb = load_table(spark, "embeddings", sf_dir)
-        ivf_index.build_ivf_index(
-            emb, path, n_cells=_IVF_CELLS, seed=_IVF_SEED
-        )
+        src = os.path.join(sf_dir, "embeddings.parquet")
+        st = os.stat(src)
+        key = hashlib.md5(
+            f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+        ).hexdigest()[:16]
+        path = os.path.join(tempfile.gettempdir(), f"adt_ivf_idx_{key}")
+        if not os.path.exists(os.path.join(path, ivf_index.MANIFEST)):
+            emb = load_table(spark, "embeddings", sf_dir)
+            ivf_index.build_ivf_index(
+                emb, path, n_cells=_IVF_CELLS, seed=_IVF_SEED
+            )
+            atexit.register(shutil.rmtree, path, ignore_errors=True)
         _IVF_INDEX_CACHE[sf_dir] = path
     return _IVF_INDEX_CACHE[sf_dir]
 

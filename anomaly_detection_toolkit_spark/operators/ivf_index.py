@@ -116,21 +116,32 @@ def build_ivf_index(
 
     The write shuffles once on (cell, src_part) — ``repartition`` by
     the partition columns so each hive partition is written by one
-    task (no small-files explosion at high parallelism)."""
+    task (no small-files explosion at high parallelism).
+
+    Crash safety for rebuild-in-place (the drift-retrain path): the
+    COMPLETE new index — cells, centroids AND manifest — is built
+    under ``<index_path>.build.tmp`` and swapped in with two renames
+    only once it is whole, so a crash mid-build leaves the old index
+    fully intact and a crash between the renames leaves it under
+    ``<index_path>.old`` for manual recovery. Without the staging,
+    a crash after the corpus-sized cells overwrite but before the
+    manifest write would pair NEW assignments with OLD centroids —
+    silently wrong probes, no error."""
     x = collect_vector_sample(corpus, id_col, vec_col, max_fit_rows, seed)
     cent = fit_kmeans_arrays(x, n_cells, n_iter=n_iter)
     assigned = _assign(corpus, cent, id_col, vec_col, src_part_col)
-    cells_path = os.path.join(index_path, CELLS)
+    staging = index_path.rstrip("/") + ".build.tmp"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
     (
         assigned.repartition("cell", "src_part")
         .write.mode("overwrite")
         .partitionBy("cell", "src_part")
-        .parquet(cells_path)
+        .parquet(os.path.join(staging, CELLS))
     )
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    os.makedirs(index_path, exist_ok=True)
     pq.write_table(
         pa.table(
             {
@@ -141,7 +152,7 @@ def build_ivf_index(
                 ),
             }
         ),
-        os.path.join(index_path, CENTROIDS),
+        os.path.join(staging, CENTROIDS),
     )
     manifest = {
         "version": 1,
@@ -154,8 +165,16 @@ def build_ivf_index(
         "n_iter": int(n_iter),
         "max_fit_rows": int(max_fit_rows),
     }
-    with open(os.path.join(index_path, MANIFEST), "w") as f:
+    with open(os.path.join(staging, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)
+    old = index_path.rstrip("/") + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(index_path):
+        os.rename(index_path, old)
+    os.rename(staging, index_path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
     return manifest
 
 
@@ -266,7 +285,16 @@ def update_ivf_index(
     place with per-partition renames — a failed Spark job leaves the
     index untouched, and a crash mid-move leaves the staging dir
     intact so a rerun of the same update self-heals (it rewrites the
-    staging dir, re-deletes, re-moves)."""
+    staging dir, re-deletes, re-moves).
+
+    NOT atomic versus concurrent queries: between the stale-dir
+    delete and the last rename, an in-flight ``ivf_query`` probing a
+    changed cell can miss that partition's rows (or hit a listed-
+    then-deleted file). Same semantics as any hive-partition-level
+    data maintenance — schedule updates in a maintenance window, or
+    serve queries from a copy/previous index dir while updating. An
+    Iceberg-backed inverted file (swap this layout for a catalog
+    table) gets snapshot-isolated updates for free."""
     manifest, cent = load_ivf_manifest(index_path)
     src_part_col = manifest.get("src_part_col")
     if src_part_col is None:
@@ -275,18 +303,26 @@ def update_ivf_index(
             "incremental updates need source-partition lineage; rebuild "
             "with build_ivf_index(..., src_part_col=...)"
         )
+    # NULL lineage is rejected in BOTH branches: with inferred parts a
+    # null would land in __HIVE_DEFAULT_PARTITION__ and never be
+    # refreshable; with an explicit list the isin filter below would
+    # SILENTLY drop the row (NULL is not true) — the vector would be
+    # permanently absent from the index with no error
+    vals = [
+        r["p"]
+        for r in changed_df.select(
+            F.col(src_part_col).cast("int").alias("p")  # match _assign's cast
+        )
+        .distinct()
+        .collect()
+    ]
+    if any(v is None for v in vals):
+        raise ValueError(
+            f"update_ivf_index: NULL (or non-integer) values in "
+            f"{src_part_col!r} — source-partition lineage must be "
+            "non-null and int-castable"
+        )
     if changed_parts is None:
-        vals = [
-            r[src_part_col]
-            for r in changed_df.select(src_part_col).distinct().collect()
-        ]
-        if any(v is None for v in vals):
-            raise ValueError(
-                f"update_ivf_index: NULL values in {src_part_col!r} — "
-                "source-partition lineage must be non-null (a null would "
-                "land in __HIVE_DEFAULT_PARTITION__ and could never be "
-                "refreshed incrementally)"
-            )
         changed_parts = sorted(int(v) for v in vals)
     cells_path = os.path.join(index_path, CELLS)
     assigned = _assign(

@@ -92,14 +92,22 @@ def append_round_record(record: dict) -> Path:
             history = json.loads(round_file.read_text())
             if not isinstance(history, list):  # pragma: no cover
                 history = [history]
-        except ValueError:
-            n = 0
-            while (keep := Path(f"{round_file}.corrupt-{n}")).exists():
-                n += 1
-            round_file.rename(keep)
+        except (OSError, ValueError) as e:
+            # never lose the just-measured record to a bad history
+            # file: preserve a corrupt one under .corrupt-<n>; if even
+            # the read/rename fails (permissions, replaced by a dir),
+            # warn and write a fresh history
+            try:
+                n = 0
+                while (keep := Path(f"{round_file}.corrupt-{n}")).exists():
+                    n += 1
+                round_file.rename(keep)
+                note = f"preserved as {keep.name}"
+            except OSError:
+                note = "could not be preserved"
             print(
-                f"bench: {round_file.name} was corrupt — preserved as "
-                f"{keep.name}, starting a fresh history",
+                f"bench: {round_file.name} was unreadable ({e!r}) — "
+                f"{note}, starting a fresh history",
                 file=sys.stderr,
             )
     history.append(record)

@@ -63,6 +63,28 @@ def test_layout_and_manifest(index_path, spark, emb):
     assert cells <= set(range(N_CELLS))
 
 
+def test_rebuild_in_place_swaps_cleanly(spark, emb, tmp_path):
+    """The drift-retrain path rebuilds at the SAME index_path: the
+    new index (cells + centroids + manifest, built as a whole in
+    staging) replaces the old consistently — no mixed state, no
+    staging/old leftovers."""
+    path = str(tmp_path / "idx")
+    ivf.build_ivf_index(emb, path, n_cells=4)
+    ivf.build_ivf_index(emb, path, n_cells=8)  # retrain in place
+    man, cent = ivf.load_ivf_manifest(path)
+    assert man["n_cells"] == 8 and cent.shape[0] == 8
+    idx = spark.read.parquet(os.path.join(path, "cells"))
+    assert idx.count() == emb.count()
+    assert not os.path.isdir(path + ".build.tmp")
+    assert not os.path.isdir(path + ".old")
+    got = sorted((r["vec_id"], int(r["cell"])) for r in idx.collect())
+    want = sorted(
+        (r["vec_id"], int(r["cell"]))
+        for r in ivf._assign(emb, cent, "vec_id", "embedding", None).collect()
+    )
+    assert got == want  # cells agree with the new centroids
+
+
 def test_query_matches_one_shot_ivf_topk(spark, emb, index_path):
     queries = emb.filter(F.col("vec_id") < 8)
     via_index = ivf.ivf_query(spark, index_path, queries, k=5, n_probe=2)

@@ -154,7 +154,14 @@ def main() -> None:
     }
     bench = REPO / "BENCH"
     bench.mkdir(exist_ok=True)
-    (bench / "suite_stress_2m.json").write_text(json.dumps(record, indent=1))
+    # canonical quiet-window record is never overwritten by a
+    # burst-flagged rerun (CLAUDE.md discipline; same policy as
+    # scaling_bench's BASELINE.md.burst.md diversion) — suspect runs
+    # land beside it and in the append-only round history only
+    target = (
+        "suite_stress_2m.burst.json" if suspect else "suite_stress_2m.json"
+    )
+    (bench / target).write_text(json.dumps(record, indent=1))
 
     from bench import append_round_record
 
