@@ -120,7 +120,7 @@ def build_ivf_index(
 
     Crash safety for rebuild-in-place (the drift-retrain path): the
     COMPLETE new index — cells, centroids AND manifest — is built
-    under ``<index_path>.build.tmp`` and swapped in with two renames
+    under a pid-unique ``<index_path>.build.tmp.<pid>`` and swapped in with two renames
     only once it is whole, so a crash mid-build leaves the old index
     fully intact and a crash between the renames leaves it under
     ``<index_path>.old`` for manual recovery. Without the staging,
@@ -130,7 +130,11 @@ def build_ivf_index(
     x = collect_vector_sample(corpus, id_col, vec_col, max_fit_rows, seed)
     cent = fit_kmeans_arrays(x, n_cells, n_iter=n_iter)
     assigned = _assign(corpus, cent, id_col, vec_col, src_part_col)
-    staging = index_path.rstrip("/") + ".build.tmp"
+    # pid-unique staging: two processes racing to build the same path
+    # (e.g. the entry cache's deterministic dir) never clobber each
+    # other's in-progress staging; the loser of the final rename race
+    # fails LOUDLY (ENOENT/EEXIST), never silently corrupts
+    staging = f"{index_path.rstrip('/')}.build.tmp.{os.getpid()}"
     if os.path.isdir(staging):
         shutil.rmtree(staging)
     (

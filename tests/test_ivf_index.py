@@ -75,7 +75,7 @@ def test_rebuild_in_place_swaps_cleanly(spark, emb, tmp_path):
     assert man["n_cells"] == 8 and cent.shape[0] == 8
     idx = spark.read.parquet(os.path.join(path, "cells"))
     assert idx.count() == emb.count()
-    assert not os.path.isdir(path + ".build.tmp")
+    assert not glob.glob(path + ".build.tmp*")
     assert not os.path.isdir(path + ".old")
     got = sorted((r["vec_id"], int(r["cell"])) for r in idx.collect())
     want = sorted(
