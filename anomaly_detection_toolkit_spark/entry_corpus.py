@@ -1003,16 +1003,16 @@ def _ivf_oracle_sql() -> str:
 # DETERMINISTIC, keyed by (sf_dir, embeddings mtime+size): repeated
 # processes reuse one dir instead of leaking a fresh /tmp copy each,
 # and a regenerated source table gets a fresh key instead of a stale
-# index; dirs built by THIS process are removed at exit.
+# index. No exit-time cleanup on purpose: another process may be
+# mid-query on the shared dir, and the deterministic key already
+# bounds accumulation to one dir per source-table state.
 _IVF_INDEX_CACHE: dict[str, str] = {}
 
 
 def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir not in _IVF_INDEX_CACHE:
-        import atexit
         import hashlib
         import os
-        import shutil
         import tempfile
 
         src = os.path.join(sf_dir, "embeddings.parquet")
@@ -1026,7 +1026,6 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
             ivf_index.build_ivf_index(
                 emb, path, n_cells=_IVF_CELLS, seed=_IVF_SEED
             )
-            atexit.register(shutil.rmtree, path, ignore_errors=True)
         _IVF_INDEX_CACHE[sf_dir] = path
     return _IVF_INDEX_CACHE[sf_dir]
 
